@@ -1,0 +1,160 @@
+"""Visual-IMU alignment: gyro bias, velocities, gravity, and metric scale.
+
+TPU-native re-derivation of the reference alignment
+(reference: vins-mono/src/initial/initial_aligment.cpp:3-207 —
+solveGyroscopeBias, TangentBasis, RefineGravity, LinearAlignment,
+VisualIMUAlignment).  The per-frame-pair blocks are built batched in jnp;
+the tiny dense normal systems are solved host-side (they run once).
+
+Inputs are arrays over the N+1 image frames collected before init:
+  R (N+1, 3, 3)  body→c0 rotation of each frame (from SfM ∘ extrinsic)
+  T (N+1, 3)     CAMERA position in c0 (visual scale)
+plus per consecutive-pair preintegrated terms (delta_q/p/v, sum_dt,
+dq_dbg from the 15x15 bias Jacobian).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import lie
+
+
+def solve_gyroscope_bias(R, delta_q, dq_dbg):
+    """LS gyro bias from SfM-vs-preintegrated rotation
+    (initial_aligment.cpp:3-37).
+
+    R (N+1,3,3) body→c0; delta_q (N,4) preintegrated rotation per pair;
+    dq_dbg (N,3,3) rotation-block bias Jacobian.  Returns delta_bg (3,)."""
+    R = jnp.asarray(R)
+    q_wb = lie.mat_to_quat(R)                                  # (N+1, 4)
+    q_ij = lie.quat_mul(lie.quat_conj(q_wb[:-1]), q_wb[1:])    # (N, 4)
+    r = 2.0 * lie.quat_mul(lie.quat_conj(jnp.asarray(delta_q)), q_ij)[:, :3]
+    J = jnp.asarray(dq_dbg)                                    # (N, 3, 3)
+    A = jnp.einsum("nij,nik->jk", J, J)
+    b = jnp.einsum("nij,ni->j", J, r)
+    return jnp.linalg.solve(A, b)
+
+
+def tangent_basis(g0):
+    """Two unit vectors spanning the tangent plane of g0
+    (initial_aligment.cpp:40-53)."""
+    a = g0 / np.linalg.norm(g0)
+    tmp = np.array([0.0, 0.0, 1.0]) if abs(a[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    b = tmp - a * (a @ tmp)
+    b /= np.linalg.norm(b)
+    c = np.cross(a, b)
+    return np.stack([b, c], axis=1)                             # (3, 2)
+
+
+def _pair_blocks(R, T, delta_p, delta_v, dts, tic):
+    """Per-pair (6 x [vi(3) vj(3) g(3) s(1)]) design blocks + rhs
+    (the kinematic constraints of LinearAlignment, initial_aligment.cpp:
+    137-160).  All batched: returns (A6 (N,6,10), b6 (N,6))."""
+    Ri = R[:-1]                                                 # (N,3,3)
+    Rj = R[1:]
+    RiT = jnp.swapaxes(Ri, -1, -2)
+    RiT_Rj = RiT @ Rj
+    dt = dts[:, None]
+    N = Ri.shape[0]
+    dtype = R.dtype
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, 3, 3))
+
+    A = jnp.zeros((N, 6, 10), dtype)
+    b = jnp.zeros((N, 6), dtype)
+    # position rows
+    A = A.at[:, 0:3, 0:3].set(-dts[:, None, None] * I3)
+    A = A.at[:, 0:3, 6:9].set(RiT * (0.5 * dts ** 2)[:, None, None])
+    A = A.at[:, 0:3, 9].set(
+        jnp.einsum("nij,nj->ni", RiT, T[1:] - T[:-1]) / 100.0)
+    b = b.at[:, 0:3].set(delta_p + jnp.einsum("nij,j->ni", RiT_Rj, tic) - tic)
+    # velocity rows
+    A = A.at[:, 3:6, 0:3].set(-I3)
+    A = A.at[:, 3:6, 3:6].set(RiT_Rj)
+    A = A.at[:, 3:6, 6:9].set(RiT * dts[:, None, None])
+    b = b.at[:, 3:6].set(delta_v)
+    return A, b
+
+
+def _solve_overlapped(A6, b6, n_frames, n_tail):
+    """Assemble the pair blocks into the global banded normal system and
+    solve (the A += r_A pattern of initial_aligment.cpp:162-188).
+    State: [v_0..v_n (3 each) | tail (n_tail)]."""
+    A6 = np.asarray(A6)
+    b6 = np.asarray(b6)
+    n_state = 3 * n_frames + n_tail
+    A = np.zeros((n_state, n_state))
+    b = np.zeros(n_state)
+    for i in range(n_frames - 1):
+        cols = np.r_[3 * i:3 * i + 6, n_state - n_tail:n_state]
+        Ai = A6[i][:, np.r_[0:6, 10 - n_tail:10]]
+        rA = Ai.T @ Ai
+        rb = Ai.T @ b6[i]
+        A[np.ix_(cols, cols)] += rA
+        b[cols] += rb
+    A *= 1000.0
+    b *= 1000.0
+    return np.linalg.solve(A, b)
+
+
+def linear_alignment(R, T, delta_p, delta_v, dts, tic, g_norm=9.81):
+    """Velocities + gravity + scale (LinearAlignment,
+    initial_aligment.cpp:125-197).  Returns (ok, x, g, s) where x holds the
+    per-frame body-frame velocities."""
+    n_frames = R.shape[0]
+    A6, b6 = _pair_blocks(jnp.asarray(R), jnp.asarray(T), jnp.asarray(delta_p),
+                          jnp.asarray(delta_v), jnp.asarray(dts),
+                          jnp.asarray(tic))
+    x = _solve_overlapped(A6, b6, n_frames, 4)
+    s = x[-1] / 100.0
+    g = x[-4:-1]
+    if abs(np.linalg.norm(g) - g_norm) > 1.0 or s < 0:
+        return False, None, None, None
+    g, x = refine_gravity(R, T, delta_p, delta_v, dts, tic, g, g_norm)
+    s = x[-1] / 100.0
+    if s < 0:
+        return False, None, None, None
+    return True, x, g, s
+
+
+def refine_gravity(R, T, delta_p, delta_v, dts, tic, g, g_norm=9.81,
+                   iterations=4):
+    """2-dof tangent-space gravity refinement (RefineGravity,
+    initial_aligment.cpp:55-123)."""
+    n_frames = R.shape[0]
+    Rj = jnp.asarray(R)
+    A6, b6 = _pair_blocks(Rj, jnp.asarray(T), jnp.asarray(delta_p),
+                          jnp.asarray(delta_v), jnp.asarray(dts),
+                          jnp.asarray(tic))
+    A6 = np.asarray(A6)
+    b6 = np.asarray(b6)
+    g0 = g / np.linalg.norm(g) * g_norm
+    x = None
+    for _ in range(iterations):
+        lxly = tangent_basis(g0)                                # (3, 2)
+        # substitute g = g0 + lxly·dg into the original blocks
+        A_g = A6[:, :, 6:9]                                     # (N, 6, 3)
+        A_it = np.concatenate([A6[:, :, 0:6], A_g @ lxly, A6[:, :, 9:10]],
+                              axis=2)                           # (N, 6, 9)
+        b_it = b6 - A_g @ g0
+        # reuse the overlapped solver with a 10-wide layout (pad one col)
+        A_pad = np.zeros((A6.shape[0], 6, 10))
+        A_pad[:, :, 0:6] = A_it[:, :, 0:6]
+        A_pad[:, :, 7:10] = A_it[:, :, 6:9]
+        x = _solve_overlapped(A_pad, b_it, n_frames, 3)
+        dg = x[-3:-1]
+        g0 = g0 + lxly @ dg
+        g0 = g0 / np.linalg.norm(g0) * g_norm
+    return g0, x
+
+
+def visual_imu_alignment(R, T, delta_p, delta_v, delta_q, dq_dbg, dts, tic,
+                         g_norm=9.81):
+    """Full alignment driver (VisualIMUAlignment, initial_aligment.cpp:199).
+
+    NOTE: the caller must repropagate the preintegrations with the solved
+    gyro bias BEFORE calling linear_alignment — this function only solves
+    the bias; mirroring the reference's two-stage flow."""
+    dbg = solve_gyroscope_bias(R, delta_q, dq_dbg)
+    return np.asarray(dbg)
