@@ -1,0 +1,94 @@
+"""Command-line entry points: `python -m vio_tpu.cli <cmd>`.
+
+Replaces the reference's executables (reference:
+vins-mono/test/run_euroc.cpp, run_vio_simulation.cpp,
+simulator/src/main.cpp) with one CLI:
+
+  run   — play a dataset through the estimator, dump TUM trajectory + APE
+  sim   — generate the analytic dataset (optionally reference-format CSVs)
+  bench — single-chip window-BA throughput (same as bench.py)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_run(args):
+    from . import metrics, runner, sim
+    from .config import sim_config, euroc_config
+
+    if args.dataset == "sim":
+        data = sim.generate(noise=args.noise, pixel_noise=args.pixel_noise)
+        cfg = sim_config()
+        t0 = time.time()
+        est, traj = runner.run_sim(data, cfg, n_frames=args.frames,
+                                   progress=args.verbose)
+        wall = time.time() - t0
+        gt_p, gt_R = runner.sim_ground_truth_at(data, traj["t"])
+        ape = metrics.ape_rmse(traj["p"], gt_p)
+        if args.out:
+            metrics.write_tum(args.out, traj["t"], traj["p"], traj["R"])
+        print(json.dumps(dict(
+            dataset="sim", noise=bool(args.noise), frames=len(traj["t"]),
+            failures=est.failure_count, wall_s=round(wall, 1),
+            fps=round(est.frame_solved / max(wall, 1e-9), 2), ape=ape)))
+    elif args.dataset == "euroc":
+        from . import io as vio_io
+        data = vio_io.load_euroc(args.path)
+        print("EuRoC playback requires the image frontend "
+              "(vio_tpu.features); sequence loaded:",
+              len(data.cam_t), "frames,", len(data.imu_t), "imu samples",
+              file=sys.stderr)
+        raise SystemExit(2)
+    else:
+        raise SystemExit(f"unknown dataset {args.dataset}")
+
+
+def cmd_sim(args):
+    from . import sim
+    from . import io as vio_io
+    data = sim.generate(noise=args.noise, pixel_noise=args.pixel_noise)
+    if args.out:
+        vio_io.write_sim_csvs(data, args.out)
+        print(f"wrote reference-format CSVs to {args.out}")
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vio_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="run VIO on a dataset")
+    p.add_argument("--dataset", default="sim", choices=["sim", "euroc"])
+    p.add_argument("--path", default=None, help="EuRoC sequence dir")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--noise", action="store_true")
+    p.add_argument("--pixel-noise", type=float, default=0.0)
+    p.add_argument("--out", default=None, help="TUM trajectory output path")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("sim", help="generate the analytic dataset")
+    p.add_argument("--noise", action="store_true")
+    p.add_argument("--pixel-noise", type=float, default=0.0)
+    p.add_argument("--out", default=None, help="reference-format CSV dir")
+    p.set_defaults(fn=cmd_sim)
+
+    p = sub.add_parser("bench", help="window-BA throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

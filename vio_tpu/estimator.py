@@ -1,0 +1,603 @@
+"""Sliding-window VIO estimator: the framework's core state machine.
+
+TPU-native re-derivation of the reference Estimator
+(reference: vins-mono/src/estimator.cpp:105-1264 — processIMU /
+processImage / initialStructure / visualInitialAlign / solveOdometry /
+backendOptimization / slideWindow / failureDetection).
+
+Architecture: a thin host-side state machine (keyframe policy, window
+bookkeeping, init orchestration — all data-dependent control flow that
+cannot live under jit) driving jitted device kernels for everything with
+FLOPs: batched ``lax.scan`` preintegration over all window intervals at
+once, the ``(F, W+1)``-grid Hessian assembly + LM solve
+(solver/window.py, solver/lm.py), and eigh marginalization
+(solver/marginalize.py).  All device calls have static shapes, so each
+compiles exactly once per config.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import factors, imu
+from .config import VioConfig
+from .feature_manager import FeatureManager, INIT_DEPTH
+from .init import alignment, sfm
+from .solver import lm, marginalize, window as W
+from .utils import lie
+
+SOLVER_INITIAL = 0
+SOLVER_NON_LINEAR = 1
+MARGIN_OLD = 0
+MARGIN_NEW = 1
+
+
+class IntervalBuffer:
+    """Raw IMU samples spanning one interval, with the preintegration
+    anchor (the sample just before the interval) and linearization bias
+    captured at creation (reference dt_buf/acc_buf/gyr_buf,
+    estimator.h:76-78)."""
+
+    __slots__ = ("dts", "accs", "gyrs", "acc0", "gyr0")
+
+    def __init__(self, acc0, gyr0):
+        self.dts = []
+        self.accs = []
+        self.gyrs = []
+        self.acc0 = np.asarray(acc0, dtype=np.float64)
+        self.gyr0 = np.asarray(gyr0, dtype=np.float64)
+
+    def push(self, dt, acc, gyr):
+        self.dts.append(float(dt))
+        self.accs.append(np.asarray(acc, dtype=np.float64))
+        self.gyrs.append(np.asarray(gyr, dtype=np.float64))
+
+    def merge_from(self, other: "IntervalBuffer"):
+        self.dts += other.dts
+        self.accs += other.accs
+        self.gyrs += other.gyrs
+
+    def __len__(self):
+        return len(self.dts)
+
+
+class FrameRec:
+    """all_image_frame entry (reference initial/initial_alignment.h
+    ImageFrame): raw feature map + IMU buffer since the previous frame."""
+
+    __slots__ = ("t", "feats", "buf", "R", "T", "is_key_frame")
+
+    def __init__(self, t, feats, buf):
+        self.t = t
+        self.feats = feats
+        self.buf = buf
+        self.R = np.eye(3)
+        self.T = np.zeros(3)
+        self.is_key_frame = False
+
+
+def _pad_buffer(buf: IntervalBuffer | None, M: int):
+    """(dts, accs, gyrs, mask, acc0, gyr0) padded to capacity M."""
+    dts = np.zeros(M)
+    accs = np.zeros((M, 3))
+    gyrs = np.zeros((M, 3))
+    mask = np.zeros(M, dtype=bool)
+    if buf is not None and len(buf) > 0:
+        n = min(len(buf), M)
+        dts[:n] = buf.dts[:n]
+        accs[:n] = np.stack(buf.accs[:n])
+        gyrs[:n] = np.stack(buf.gyrs[:n])
+        mask[:n] = True
+        acc0, gyr0 = buf.acc0, buf.gyr0
+    else:
+        acc0 = np.zeros(3)
+        gyr0 = np.zeros(3)
+    return dts, accs, gyrs, mask, acc0, gyr0
+
+
+class Estimator:
+    """The sliding-window VIO core (reference estimator.{h,cpp})."""
+
+    def __init__(self, cfg: VioConfig):
+        self.cfg = cfg
+        self.W = cfg.window_size
+        self.W1 = cfg.window_size + 1
+        self.P = cfg.num_pose_params
+        self.noise_diag = np.asarray(imu.noise_diag(
+            cfg.acc_n, cfg.gyr_n, cfg.acc_w, cfg.gyr_w))
+        self.ric = cfg.R_ic
+        self.tic = cfg.t_ic
+        self.clear_state()
+
+    # ------------------------------------------------------------------
+    # state management (clearState, estimator.cpp:60-103)
+    # ------------------------------------------------------------------
+
+    def clear_state(self):
+        W1 = self.W1
+        self.Ps = np.zeros((W1, 3))
+        self.Rs = np.tile(np.eye(3), (W1, 1, 1))
+        self.Vs = np.zeros((W1, 3))
+        self.Bas = np.zeros((W1, 3))
+        self.Bgs = np.zeros((W1, 3))
+        self.headers = np.zeros(W1)
+        self.bufs: list[IntervalBuffer | None] = [None] * W1
+        self.frame_count = 0
+        self.first_imu = False
+        self.acc_0 = np.zeros(3)
+        self.gyr_0 = np.zeros(3)
+        self.solver_flag = SOLVER_INITIAL
+        self.marg_flag = MARGIN_OLD
+        self.g = np.array([0.0, 0.0, self.cfg.g_norm])
+        self.fm = FeatureManager(self.W, self.cfg.min_parallax)
+        self.all_frames: list[FrameRec] = []
+        self.tmp_buf: IntervalBuffer | None = None
+        # marginalization prior (static size P)
+        self.H_prior = np.zeros((self.P, self.P))
+        self.b_prior = np.zeros(self.P)
+        self.err_prior = np.zeros(self.P)
+        self.Jt_prior_inv = np.zeros((self.P, self.P))
+        self.last_P = np.zeros(3)
+        self.last_R = np.eye(3)
+        self.failure_count = 0
+        self.frame_solved = 0
+
+    # ------------------------------------------------------------------
+    # IMU path (processIMU, estimator.cpp:105-139)
+    # ------------------------------------------------------------------
+
+    def process_imu(self, dt: float, acc, gyr):
+        acc = np.asarray(acc, dtype=np.float64)
+        gyr = np.asarray(gyr, dtype=np.float64)
+        if not self.first_imu:
+            self.first_imu = True
+            self.acc_0 = acc
+            self.gyr_0 = gyr
+
+        j = self.frame_count
+        if self.bufs[j] is None:
+            self.bufs[j] = IntervalBuffer(self.acc_0, self.gyr_0)
+        if self.tmp_buf is None:
+            self.tmp_buf = IntervalBuffer(self.acc_0, self.gyr_0)
+
+        if j != 0:
+            self.bufs[j].push(dt, acc, gyr)
+            self.tmp_buf.push(dt, acc, gyr)
+            # midpoint state propagation (estimator.cpp:128-135)
+            un_acc_0 = self.Rs[j] @ (self.acc_0 - self.Bas[j]) - self.g
+            un_gyr = 0.5 * (self.gyr_0 + gyr) - self.Bgs[j]
+            R_new = self.Rs[j] @ np.asarray(
+                lie.so3_exp_mat(jnp.asarray(un_gyr * dt)))
+            un_acc_1 = R_new @ (acc - self.Bas[j]) - self.g
+            un_acc = 0.5 * (un_acc_0 + un_acc_1)
+            self.Ps[j] = self.Ps[j] + self.Vs[j] * dt + 0.5 * un_acc * dt * dt
+            self.Vs[j] = self.Vs[j] + un_acc * dt
+            self.Rs[j] = R_new
+        self.acc_0 = acc
+        self.gyr_0 = gyr
+
+    # ------------------------------------------------------------------
+    # image path (processImage, estimator.cpp:141-238)
+    # ------------------------------------------------------------------
+
+    def process_image(self, feats: dict, t: float):
+        """feats: {feature_id: (bearing (3,) with z=1, uv (2,), vel (2,))}."""
+        if self.fm.add_feature_check_parallax(self.frame_count, feats):
+            self.marg_flag = MARGIN_OLD
+        else:
+            self.marg_flag = MARGIN_NEW
+
+        self.headers[self.frame_count] = t
+        rec = FrameRec(t, feats, self.tmp_buf)
+        self.all_frames.append(rec)
+        self.tmp_buf = IntervalBuffer(self.acc_0, self.gyr_0)
+
+        if self.solver_flag == SOLVER_INITIAL:
+            if self.frame_count == self.W:
+                if self._initial_structure():
+                    self.solver_flag = SOLVER_NON_LINEAR
+                    self._solve_odometry()
+                    self._slide_window()
+                    self.fm.remove_failures()
+                    self.last_P = self.Ps[self.W].copy()
+                    self.last_R = self.Rs[self.W].copy()
+                else:
+                    self._slide_window()
+            else:
+                self.frame_count += 1
+                prev = self.frame_count - 1
+                self.Ps[self.frame_count] = self.Ps[prev]
+                self.Rs[self.frame_count] = self.Rs[prev]
+                self.Vs[self.frame_count] = self.Vs[prev]
+                self.Bas[self.frame_count] = self.Bas[prev]
+                self.Bgs[self.frame_count] = self.Bgs[prev]
+        else:
+            self._solve_odometry()
+            if self._failure_detection():
+                self.failure_count += 1
+                self.clear_state()
+                return
+            self._slide_window()
+            self.fm.remove_failures()
+            self.last_P = self.Ps[self.W].copy()
+            self.last_R = self.Rs[self.W].copy()
+
+    # ------------------------------------------------------------------
+    # initialization (initialStructure, estimator.cpp:240-382)
+    # ------------------------------------------------------------------
+
+    def _initial_structure(self) -> bool:
+        # build the SfM observation grid over window frames
+        feats = list(self.fm.features.values())
+        if len(feats) < 10:
+            return False
+        Fa = len(feats)
+        obs = np.zeros((self.W1, Fa, 2))
+        valid = np.zeros((self.W1, Fa), dtype=bool)
+        for fi, ft in enumerate(feats):
+            for k, p in enumerate(ft.pts):
+                j = ft.start_frame + k
+                if j <= self.W:
+                    obs[j, fi] = p[:2] / p[2]
+                    valid[j, fi] = True
+
+        ok_l = self._relative_pose()
+        if ok_l is None:
+            return False
+        l, R_rel, t_rel = ok_l
+
+        ok, Rs_c, ts_c, X, tri = sfm.construct(obs, valid, l, R_rel, t_rel)
+        if not ok:
+            self.marg_flag = MARGIN_OLD
+            return False
+
+        # camera world→cam poses → body poses in c0 for the window keyframes
+        fid_index = {ft.feature_id: i for i, ft in enumerate(feats)}
+        key_ts = set(self.headers[:self.W1])
+        prev_R = np.eye(3)
+        prev_t = np.zeros(3)
+        ki = 0
+        for rec in self.all_frames:
+            if ki <= self.W and rec.t == self.headers[ki]:
+                rec.is_key_frame = True
+                rec.R = Rs_c[ki].T @ self.ric.T   # body→c0
+                rec.T = -Rs_c[ki].T @ ts_c[ki]    # camera position in c0
+                prev_R, prev_t = Rs_c[ki], ts_c[ki]
+                ki += 1
+                continue
+            # PnP for non-keyframes against the SfM landmarks
+            pts3, pts2 = [], []
+            for fid, (xyz, _uv, _vel) in rec.feats.items():
+                i = fid_index.get(fid)
+                if i is not None and tri[i]:
+                    pts3.append(X[i])
+                    pts2.append(np.asarray(xyz[:2]) / xyz[2])
+            if len(pts3) < 6:
+                return False
+            R_pnp, t_pnp, msq = sfm.pnp_gn(
+                jnp.asarray(np.stack(pts3)), jnp.asarray(np.stack(pts2)),
+                jnp.ones(len(pts3), bool), jnp.asarray(prev_R),
+                jnp.asarray(prev_t))
+            R_pnp = np.asarray(R_pnp)
+            t_pnp = np.asarray(t_pnp)
+            rec.R = R_pnp.T @ self.ric.T
+            rec.T = -R_pnp.T @ t_pnp
+            prev_R, prev_t = R_pnp, t_pnp
+
+        return self._visual_initial_align()
+
+    def _relative_pose(self):
+        """Find bootstrap frame l (relativePose, estimator.cpp:462-490)."""
+        for i in range(self.W):
+            pa, pb = self.fm.get_corresponding(i, self.W)
+            if len(pa) < 20:
+                continue
+            parallax = np.mean(np.linalg.norm(pa - pb, axis=1))
+            if parallax * 460.0 <= 30.0:
+                continue
+            ok, R, t = sfm.solve_relative_rt(pa, pb, np.ones(len(pa), bool))
+            if ok:
+                return i, R, t
+        return None
+
+    def _frame_preints(self, bg):
+        """Batched preintegration of all consecutive all_frames pairs at
+        gyro bias bg (zero acc bias).  The frame axis is padded to a static
+        capacity (multiples of 32) so compile count stays bounded while
+        all_frames grows pre-init; padded intervals are fully masked and
+        sliced away from the result."""
+        M = self.cfg.max_imu_per_interval
+        n = len(self.all_frames) - 1
+        cap = max(32, ((n + 31) // 32) * 32)
+        packs = [_pad_buffer(r.buf, M) for r in self.all_frames[1:]]
+        packs += [_pad_buffer(None, M)] * (cap - n)
+        dts = jnp.asarray(np.stack([p[0] for p in packs]))
+        accs = jnp.asarray(np.stack([p[1] for p in packs]))
+        gyrs = jnp.asarray(np.stack([p[2] for p in packs]))
+        mask = jnp.asarray(np.stack([p[3] for p in packs]))
+        acc0 = jnp.asarray(np.stack([p[4] for p in packs]))
+        gyr0 = jnp.asarray(np.stack([p[5] for p in packs]))
+        z = jnp.zeros((cap, 3))
+        bgs = jnp.broadcast_to(jnp.asarray(bg), (cap, 3))
+        st = imu.preintegrate_batch(dts, accs, gyrs, mask, acc0, gyr0,
+                                    z, bgs, jnp.asarray(self.noise_diag))
+        return jax.tree.map(lambda a: a[:n], st)
+
+    def _visual_initial_align(self) -> bool:
+        """(visualInitialAlign, estimator.cpp:384-455 +
+        VisualIMUAlignment, initial_aligment.cpp:199)."""
+        R_all = np.stack([r.R for r in self.all_frames])
+        T_all = np.stack([r.T for r in self.all_frames])
+
+        # 1) gyro bias from rotation-only constraints
+        st = self._frame_preints(np.zeros(3))
+        delta_q = np.asarray(st.delta_q)
+        dq_dbg = np.asarray(st.jacobian)[:, 3:6, 12:15]
+        dbg = np.asarray(alignment.solve_gyroscope_bias(R_all, delta_q, dq_dbg))
+        for i in range(self.W1):
+            self.Bgs[i] = dbg
+        # repropagate at the solved bias
+        st = self._frame_preints(dbg)
+
+        # 2) linear alignment: velocities + gravity + scale
+        delta_p = np.asarray(st.delta_p)
+        delta_v = np.asarray(st.delta_v)
+        dts = np.asarray(st.sum_dt)
+        ok, x, g_c0, s = alignment.linear_alignment(
+            R_all, T_all, delta_p, delta_v, dts, self.tic, self.cfg.g_norm)
+        if not ok:
+            return False
+
+        # 3) window states from the SfM keyframe poses (visual scale)
+        kf_idx = [i for i, r in enumerate(self.all_frames) if r.is_key_frame]
+        for k, i in enumerate(kf_idx[:self.W1]):
+            self.Ps[k] = self.all_frames[i].T
+            self.Rs[k] = self.all_frames[i].R
+            self.all_frames[i].is_key_frame = True
+
+        # 4) triangulate at visual scale with zero extrinsic translation
+        self.fm.clear_depth()
+        self.fm.triangulate(self.Ps, self.Rs, np.zeros(3), self.ric)
+
+        # 5) metric rescale + move origin to body frame 0
+        for i in range(self.W, -1, -1):
+            self.Ps[i] = (s * self.Ps[i] - self.Rs[i] @ self.tic
+                          - (s * self.Ps[0] - self.Rs[0] @ self.tic))
+        for k, i in enumerate(kf_idx[:self.W1]):
+            self.Vs[k] = self.all_frames[i].R @ x[3 * i:3 * i + 3]
+        for ft in self.fm.features.values():
+            if ft.depth > 0:
+                ft.depth *= s
+
+        # 6) gravity-align the c0 frame, keeping frame-0 yaw at zero
+        R0 = np.asarray(lie.g_to_R(jnp.asarray(g_c0)))
+        yaw = float(np.asarray(lie.mat_to_ypr(jnp.asarray(R0 @ self.Rs[0])))[0])
+        R0 = np.asarray(lie.ypr_to_mat(jnp.asarray([-yaw, 0.0, 0.0]))) @ R0
+        self.g = R0 @ g_c0
+        for i in range(self.W1):
+            self.Ps[i] = R0 @ self.Ps[i]
+            self.Rs[i] = R0 @ self.Rs[i]
+            self.Vs[i] = R0 @ self.Vs[i]
+        return True
+
+    # ------------------------------------------------------------------
+    # solve path (solveOdometry → backendOptimization,
+    # estimator.cpp:492-503, 1075-1143)
+    # ------------------------------------------------------------------
+
+    def _solve_odometry(self):
+        self.fm.triangulate(self.Ps, self.Rs, self.tic, self.ric)
+        self._backend_optimization()
+
+    def _pack_states(self) -> W.WindowStates:
+        Qs = np.stack([np.asarray(lie.mat_to_quat(jnp.asarray(R)))
+                       for R in self.Rs])
+        cands = self.fm.candidates()
+        F = self.cfg.max_features
+        inv_dep = np.ones(F)   # padded slots: 1.0, never 0 (1/0 → NaN Hessian)
+        for i, ft in enumerate(cands[:F]):
+            inv_dep[i] = 1.0 / ft.depth
+        return W.WindowStates(
+            ext_t=jnp.asarray(self.tic),
+            ext_q=lie.mat_to_quat(jnp.asarray(self.ric)),
+            Ps=jnp.asarray(self.Ps), Qs=jnp.asarray(Qs),
+            Vs=jnp.asarray(self.Vs), Bas=jnp.asarray(self.Bas),
+            Bgs=jnp.asarray(self.Bgs), inv_dep=jnp.asarray(inv_dep))
+
+    def _pack_factors(self) -> W.WindowFactors:
+        cfg = self.cfg
+        M = cfg.max_imu_per_interval
+        F = cfg.max_features
+        W1 = self.W1
+
+        # ---- IMU intervals 1..W preintegrated in one batched scan,
+        # linearized at the current start-frame biases (always-repropagate;
+        # the reference's first-order bias correction handles in-solve drift)
+        packs = [_pad_buffer(self.bufs[k], M) for k in range(1, W1)]
+        dts = jnp.asarray(np.stack([p[0] for p in packs]))
+        accs = jnp.asarray(np.stack([p[1] for p in packs]))
+        gyrs = jnp.asarray(np.stack([p[2] for p in packs]))
+        mask = jnp.asarray(np.stack([p[3] for p in packs]))
+        acc0 = jnp.asarray(np.stack([p[4] for p in packs]))
+        gyr0 = jnp.asarray(np.stack([p[5] for p in packs]))
+        bas = jnp.asarray(self.Bas[:self.W])
+        bgs = jnp.asarray(self.Bgs[:self.W])
+        st = imu.preintegrate_batch(dts, accs, gyrs, mask, acc0, gyr0,
+                                    bas, bgs, jnp.asarray(self.noise_diag))
+        imu_valid = np.array([self.bufs[k] is not None and len(self.bufs[k]) > 0
+                              for k in range(1, W1)])
+        # keep invalid-interval covariances invertible
+        cov = np.array(st.covariance, copy=True)
+        for w in np.where(~imu_valid)[0]:
+            cov[w] = np.eye(15)
+        terms = factors.ImuFactorTerms(
+            delta_p=st.delta_p, delta_q=st.delta_q, delta_v=st.delta_v,
+            jacobian=st.jacobian, covariance=jnp.asarray(cov),
+            sum_dt=st.sum_dt, linearized_ba=st.linearized_ba,
+            linearized_bg=st.linearized_bg)
+
+        # ---- reprojection grid
+        cands = self.fm.candidates()[:F]
+        pts_i = np.zeros((F, 3))
+        pts_i[:, 2] = 1.0
+        pts_j = np.zeros((F, W1, 3))
+        pts_j[:, :, 2] = 1.0
+        start = np.zeros(F, dtype=np.int32)
+        obs_mask = np.zeros((F, W1), dtype=bool)
+        feat_valid = np.zeros(F, dtype=bool)
+        for i, ft in enumerate(cands):
+            start[i] = ft.start_frame
+            pts_i[i] = ft.pts[0]
+            feat_valid[i] = True
+            for k, p in enumerate(ft.pts[1:], start=1):
+                j = ft.start_frame + k
+                if j <= self.W:
+                    pts_j[i, j] = p
+                    obs_mask[i, j] = True
+
+        return W.WindowFactors(
+            imu_terms=terms, imu_valid=jnp.asarray(imu_valid),
+            pts_i=jnp.asarray(pts_i), pts_j=jnp.asarray(pts_j),
+            start=jnp.asarray(start), obs_mask=jnp.asarray(obs_mask),
+            feat_valid=jnp.asarray(feat_valid),
+            H_prior=jnp.asarray(self.H_prior),
+            b_prior=jnp.asarray(self.b_prior),
+            err_prior=jnp.asarray(self.err_prior),
+            Jt_prior_inv=jnp.asarray(self.Jt_prior_inv),
+            g=jnp.asarray(self.g),
+            proj_sqrt_info=jnp.asarray(self.cfg.focal_length / 1.5))
+
+    def _backend_optimization(self):
+        states = self._pack_states()
+        f = self._pack_factors()
+        new_states, b_prior, err_prior, stats = lm.solve_window(
+            states, f, max_iter=self.cfg.max_num_iterations,
+            fix_ext=self.cfg.estimate_extrinsic == 0)
+        self.b_prior = np.asarray(b_prior)
+        self.err_prior = np.asarray(err_prior)
+        self._unpack_states(new_states)
+        f = f._replace(b_prior=jnp.asarray(self.b_prior),
+                       err_prior=jnp.asarray(self.err_prior))
+
+        # marginalization (estimator.cpp:1131-1142)
+        if self.marg_flag == MARGIN_OLD:
+            states_new = self._pack_states()
+            Hp, bp, errp, Jtp = marginalize.marginalize_old(states_new, f)
+        else:
+            Hp, bp, errp, Jtp = marginalize.marginalize_new(f)
+        self.H_prior = np.asarray(Hp)
+        self.b_prior = np.asarray(bp)
+        self.err_prior = np.asarray(errp)
+        self.Jt_prior_inv = np.asarray(Jtp)
+        self.frame_solved += 1
+
+    def _unpack_states(self, s: W.WindowStates):
+        """double2vector with the yaw-gauge re-fix (estimator.cpp:549-600)."""
+        origin_ypr = np.asarray(lie.mat_to_ypr(jnp.asarray(self.Rs[0])))
+        origin_P0 = self.Ps[0].copy()
+
+        Rs_new = np.asarray(lie.quat_to_mat(s.Qs))
+        Ps_new = np.asarray(s.Ps)
+        opt_ypr = np.asarray(lie.mat_to_ypr(jnp.asarray(Rs_new[0])))
+        y_diff = origin_ypr[0] - opt_ypr[0]
+        rot_diff = np.asarray(lie.ypr_to_mat(jnp.asarray([y_diff, 0.0, 0.0])))
+        if abs(abs(origin_ypr[1]) - 90) < 1.0 or abs(abs(opt_ypr[1]) - 90) < 1.0:
+            # gimbal-lock: fall back to full rotation transfer
+            rot_diff = self.Rs[0] @ Rs_new[0].T
+
+        for i in range(self.W1):
+            self.Rs[i] = rot_diff @ Rs_new[i]
+            self.Ps[i] = rot_diff @ (Ps_new[i] - Ps_new[0]) + origin_P0
+            self.Vs[i] = rot_diff @ np.asarray(s.Vs)[i]
+        self.Bas = np.asarray(s.Bas).copy()
+        self.Bgs = np.asarray(s.Bgs).copy()
+
+        inv_dep = np.asarray(s.inv_dep)
+        cands = self.fm.candidates()[:self.cfg.max_features]
+        self.fm.set_inv_depths(inv_dep[:len(cands)])
+
+    # ------------------------------------------------------------------
+    # failure detection (estimator.cpp:645-691)
+    # ------------------------------------------------------------------
+
+    def _failure_detection(self) -> bool:
+        if np.linalg.norm(self.Bas[self.W]) > 2.5:
+            return True
+        if np.linalg.norm(self.Bgs[self.W]) > 1.0:
+            return True
+        dp = self.Ps[self.W] - self.last_P
+        if np.linalg.norm(dp) > 5.0:
+            return True
+        if abs(dp[2]) > 1.0:
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    # window slide (slideWindow, estimator.cpp:1144-1264)
+    # ------------------------------------------------------------------
+
+    def _slide_window(self):
+        if self.marg_flag == MARGIN_OLD:
+            t0 = self.headers[0]
+            back_R0 = self.Rs[0].copy()
+            back_P0 = self.Ps[0].copy()
+            if self.frame_count == self.W:
+                for i in range(self.W):
+                    self.Ps[i] = self.Ps[i + 1]
+                    self.Rs[i] = self.Rs[i + 1]
+                    self.Vs[i] = self.Vs[i + 1]
+                    self.Bas[i] = self.Bas[i + 1]
+                    self.Bgs[i] = self.Bgs[i + 1]
+                    self.headers[i] = self.headers[i + 1]
+                    self.bufs[i] = self.bufs[i + 1]
+                self.Ps[self.W] = self.Ps[self.W - 1]
+                self.Rs[self.W] = self.Rs[self.W - 1]
+                self.Vs[self.W] = self.Vs[self.W - 1]
+                self.Bas[self.W] = self.Bas[self.W - 1]
+                self.Bgs[self.W] = self.Bgs[self.W - 1]
+                self.headers[self.W] = self.headers[self.W - 1]
+                self.bufs[self.W] = IntervalBuffer(self.acc_0, self.gyr_0)
+                # drop pre-window frames from the init archive
+                self.all_frames = [r for r in self.all_frames if r.t > t0]
+                self._slide_window_old(back_R0, back_P0)
+        else:
+            if self.frame_count == self.W:
+                # merge the newest interval into the previous one
+                if self.bufs[self.W] is not None:
+                    if self.bufs[self.W - 1] is None:
+                        self.bufs[self.W - 1] = IntervalBuffer(
+                            self.bufs[self.W].acc0, self.bufs[self.W].gyr0)
+                    self.bufs[self.W - 1].merge_from(self.bufs[self.W])
+                self.Ps[self.W - 1] = self.Ps[self.W]
+                self.Rs[self.W - 1] = self.Rs[self.W]
+                self.Vs[self.W - 1] = self.Vs[self.W]
+                self.Bas[self.W - 1] = self.Bas[self.W]
+                self.Bgs[self.W - 1] = self.Bgs[self.W]
+                self.headers[self.W - 1] = self.headers[self.W]
+                self.bufs[self.W] = IntervalBuffer(self.acc_0, self.gyr_0)
+                self.fm.remove_front(self.frame_count)
+
+    def _slide_window_old(self, back_R0, back_P0):
+        if self.solver_flag == SOLVER_NON_LINEAR:
+            R0 = back_R0 @ self.ric
+            P0 = back_P0 + back_R0 @ self.tic
+            R1 = self.Rs[0] @ self.ric
+            P1 = self.Ps[0] + self.Rs[0] @ self.tic
+            self.fm.remove_back_shift_depth(R0, P0, R1, P1)
+        else:
+            self.fm.remove_back()
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+
+    @property
+    def initialized(self) -> bool:
+        return self.solver_flag == SOLVER_NON_LINEAR
+
+    def latest_pose(self):
+        """(t, p_wb, R_wb) of the newest window frame."""
+        return (self.headers[self.frame_count],
+                self.Ps[self.frame_count].copy(),
+                self.Rs[self.frame_count].copy())

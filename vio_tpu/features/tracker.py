@@ -1,0 +1,110 @@
+"""Visual frontend: the KLT feature tracker over camera streams.
+
+TPU-native re-derivation of the reference FeatureTracker
+(reference: vins-mono/src/feature_tracker.cpp:81-305 readImage — KLT
+tracking, RANSAC-F outlier rejection, min-distance replenishment,
+undistortion + per-feature normalized-plane velocity).
+
+Split of labor: the per-frame device program (pyramids, batched KLT,
+Shi-Tomasi + NMS detection) runs with STATIC capacity N (id bookkeeping
+masks); the tiny id/track-count bookkeeping lives on host.  CLAHE is
+approximated by a global contrast normalization on device (the reference
+applies cv::CLAHE only when the image is too dark/bright).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import detect, klt
+from ..init import sfm
+
+
+class FeatureTracker:
+    """Stateful host wrapper over the jitted tracking program."""
+
+    def __init__(self, camera, max_cnt: int = 150, min_dist: int = 30,
+                 f_thresh_px: float = 1.0, focal: float = 460.0,
+                 fb_thresh: float = 0.5):
+        self.cam = camera
+        self.max_cnt = max_cnt
+        self.min_dist = min_dist
+        self.f_thresh = f_thresh_px / focal
+        self.fb_thresh = fb_thresh
+        self.prev_img = None
+        self.prev_t = None
+        self.pos = np.zeros((max_cnt, 2))         # pixel positions
+        self.ids = -np.ones(max_cnt, dtype=np.int64)
+        self.track_cnt = np.zeros(max_cnt, dtype=np.int64)
+        self.prev_un = np.zeros((max_cnt, 2))     # normalized coords
+        self.next_id = 0
+
+    @property
+    def valid(self):
+        return self.ids >= 0
+
+    def read_image(self, img: np.ndarray, t: float):
+        """Process one frame.  Returns {feature_id: (bearing(3,), uv(2,),
+        vel(2,))} for features with track_cnt > 1 (the reference only
+        publishes re-observed features, System.cpp:228-266)."""
+        img_d = jnp.asarray(img, jnp.float32)
+        valid = jnp.asarray(self.valid)
+
+        if self.prev_img is not None and bool(np.any(self.valid)):
+            p1, ok, _ = klt.track_fb(self.prev_img, img_d,
+                                     jnp.asarray(self.pos), valid,
+                                     fb_thresh=self.fb_thresh)
+            p1 = np.asarray(p1)
+            ok = np.asarray(ok) & self.valid
+            # RANSAC-F outlier rejection on normalized coords
+            # (rejectWithF, feature_tracker.cpp:169-202)
+            if ok.sum() >= 15:
+                un0 = np.asarray(self.cam.lift(jnp.asarray(self.pos)))
+                un1 = np.asarray(self.cam.lift(jnp.asarray(p1)))
+                E, inl, n_inl = sfm.essential_ransac(
+                    jnp.asarray(un0), jnp.asarray(un1), jnp.asarray(ok),
+                    jax.random.PRNGKey(int(t * 1e6) & 0x7FFFFFFF),
+                    thresh=self.f_thresh)
+                if int(n_inl) >= 8:
+                    ok &= np.asarray(inl)
+            self.pos = np.where(ok[:, None], p1, self.pos)
+            self.ids = np.where(ok, self.ids, -1)
+            self.track_cnt = np.where(ok, self.track_cnt + 1, 0)
+
+        # replenish with new detections away from current tracks
+        n_live = int(self.valid.sum())
+        n_new = self.max_cnt - n_live
+        if n_new > 0:
+            occ = detect.occupancy_from_points(
+                img.shape, jnp.asarray(self.pos), jnp.asarray(self.valid),
+                self.min_dist)
+            xy, score, dvalid = detect.detect(
+                img_d, occ, max_corners=self.max_cnt,
+                min_dist=self.min_dist)
+            xy = np.asarray(xy)
+            dvalid = np.asarray(dvalid)
+            free = np.where(~self.valid)[0]
+            picked = np.where(dvalid)[0][:len(free)]
+            for slot, k in zip(free, picked):
+                self.pos[slot] = xy[k]
+                self.ids[slot] = self.next_id
+                self.track_cnt[slot] = 1
+                self.next_id += 1
+
+        # undistort + velocities (undistortedPoints,
+        # feature_tracker.cpp:258-305)
+        un = np.asarray(self.cam.lift(jnp.asarray(self.pos)))
+        dt = (t - self.prev_t) if self.prev_t is not None else None
+        out = {}
+        for slot in np.where(self.valid & (self.track_cnt > 1))[0]:
+            vel = ((un[slot] - self.prev_un[slot]) / dt
+                   if dt else np.zeros(2))
+            out[int(self.ids[slot])] = (
+                np.array([un[slot, 0], un[slot, 1], 1.0]),
+                self.pos[slot].copy(), vel)
+
+        self.prev_img = img_d
+        self.prev_t = t
+        self.prev_un = un
+        return out

@@ -181,5 +181,8 @@ def evaluate(state: PreintState, g,
 
 
 # Batched preintegration over window slots: (W, M) buffers -> batched state.
-preintegrate_batch = jax.vmap(preintegrate,
-                              in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))
+# Jitted: the bare-vmap version dispatches an eagerly-compiled scan on every
+# call, and the repeated XLA:CPU compile churn has produced segfaults in
+# long-lived processes; one jitted executable per shape is also simply faster.
+preintegrate_batch = jax.jit(jax.vmap(preintegrate,
+                                      in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))

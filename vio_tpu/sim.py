@@ -206,3 +206,28 @@ def generate(noise: bool = False,
         imu_v=np.asarray(cam["v_wb"]),
         landmarks=pts, obs_xy=xy, obs_uv=uv, obs_valid=valid,
     )
+
+
+def render_image(data: SimData, k: int, height: int = 640, width: int = 640,
+                 sigma: float = 1.8, amplitude: float = 200.0,
+                 background: float = 12.0) -> np.ndarray:
+    """Render frame k as a grayscale image: a sub-pixel-accurate Gaussian
+    blob per visible landmark (the simulator writes feature files, not
+    images — this renderer closes the loop so the KLT frontend can be
+    exercised against exact geometry; blob centers ARE the projections)."""
+    img = np.full((height, width), background, np.float32)
+    r = int(np.ceil(3 * sigma))
+    for lid in np.where(data.obs_valid[k])[0]:
+        u, v = data.obs_uv[k, lid]
+        x0 = int(np.floor(u)) - r
+        y0 = int(np.floor(v)) - r
+        xs = np.arange(x0, x0 + 2 * r + 1)
+        ys = np.arange(y0, y0 + 2 * r + 1)
+        gx = np.exp(-((xs - u) ** 2) / (2 * sigma * sigma))
+        gy = np.exp(-((ys - v) ** 2) / (2 * sigma * sigma))
+        patch = amplitude * gy[:, None] * gx[None, :]
+        xa, xb = max(x0, 0), min(x0 + 2 * r + 1, width)
+        ya, yb = max(y0, 0), min(y0 + 2 * r + 1, height)
+        if xa < xb and ya < yb:
+            img[ya:yb, xa:xb] += patch[ya - y0:yb - y0, xa - x0:xb - x0]
+    return np.clip(img, 0.0, 255.0)

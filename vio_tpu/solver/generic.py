@@ -24,7 +24,8 @@ class LMLog(NamedTuple):
 
 def lm_solve_dense(normal_fn: Callable, chi2_fn: Callable, plus_fn: Callable,
                    x0, max_iter: int = 50, strategy: str = "nielsen",
-                   stop_delta_chi: float = 1e-5, verbose: bool = False):
+                   stop_delta_chi: float = 1e-5, verbose: bool = False,
+                   log_csv: str | None = None):
     """Minimize 0.5·Σ chi² with LM.
 
     normal_fn(x) -> (H, b, chi2)   — assembled normal equations (chi2 already
@@ -105,4 +106,11 @@ def lm_solve_dense(normal_fn: Callable, chi2_fn: Callable, plus_fn: Callable,
         if last_chi - chi < stop_delta_chi:
             stop = True
         last_chi = chi
+    if log_csv:
+        # per-iteration optimization log, the 13-assignment's
+        # curve_fitting_LM_log__<strategy>.csv (problem.cc:82-152)
+        with open(log_csv, "w") as fh:
+            fh.write("iter,chi2,lambda\n")
+            for i, (c, l) in enumerate(zip(log.chi2, log.lam)):
+                fh.write(f"{i},{c},{l}\n")
     return x, dict(chi2=chi, iterations=it, log=log)

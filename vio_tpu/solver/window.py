@@ -92,6 +92,13 @@ def apply_delta(states: WindowStates, delta_pose: jnp.ndarray,
 # Residual / chi² evaluation (no Jacobians) — used by the LM accept test
 # ---------------------------------------------------------------------------
 
+def _safe_inv_dep(states: WindowStates, f: WindowFactors):
+    """Inverse depths with masked-out features clamped to 1.0 — a padded
+    slot's 1/0 would otherwise produce inf, and inf·mask(0) = NaN poisons
+    the Hessian GEMMs even though chi² itself is masked."""
+    return jnp.where(f.feat_valid, states.inv_dep, 1.0)
+
+
 def _reproj_residuals(states: WindowStates, f: WindowFactors):
     """All reprojection residuals on the (F, W1) grid → (F, W1, 2)."""
     Pi = states.Ps[f.start]          # (F, 3)
@@ -104,7 +111,8 @@ def _reproj_residuals(states: WindowStates, f: WindowFactors):
     # vmap over frames j then features f
     fn = jax.vmap(jax.vmap(per_obs, in_axes=(None, None, None, None, 0, 0, 0)),
                   in_axes=(0, 0, 0, 0, None, None, 0))
-    return fn(states.inv_dep, Pi, Qi, f.pts_i, states.Ps, states.Qs, f.pts_j)
+    return fn(_safe_inv_dep(states, f), Pi, Qi, f.pts_i,
+              states.Ps, states.Qs, f.pts_j)
 
 
 def _imu_residuals(states: WindowStates, f: WindowFactors):
@@ -184,7 +192,7 @@ def assemble(states: WindowStates, f: WindowFactors,
 
     fn = jax.vmap(jax.vmap(per_obs, in_axes=(None, None, None, None, 0, 0, 0)),
                   in_axes=(0, 0, 0, 0, None, None, 0))
-    r, Jd, Jpi, Jpj, Jext = fn(states.inv_dep, Pi, Qi, f.pts_i,
+    r, Jd, Jpi, Jpj, Jext = fn(_safe_inv_dep(states, f), Pi, Qi, f.pts_i,
                                states.Ps, states.Qs, f.pts_j)
     # shapes: r (F,W1,2), Jd (F,W1,2,1), Jpi/Jpj/Jext (F,W1,2,6)
 
