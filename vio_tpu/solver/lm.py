@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import window as W
+from ..ops import linsolve
 
 
 class LMState(NamedTuple):
@@ -43,7 +44,7 @@ def schur_solve(normal: W.Normal, lam, feat_valid):
     bp_schur = normal.bp - tempH @ normal.bm
     P = Hpp_schur.shape[0]
     Hpp_schur = Hpp_schur + lam * jnp.eye(P, dtype=Hpp_schur.dtype)
-    dx_p = jnp.linalg.solve(Hpp_schur, bp_schur)
+    dx_p = linsolve.spd_solve(Hpp_schur, bp_schur)
     dx_m = Hmm_inv * (normal.bm - normal.Hpm.T @ dx_p)
     return dx_p, dx_m
 
@@ -55,7 +56,10 @@ def solve_window(states: W.WindowStates, f: W.WindowFactors,
     """Run LM on the window problem.  Returns (states, b_prior, err_prior,
     stats dict).  b_prior/err_prior carry the first-order prior update
     accumulated over accepted steps (problem.cc:466-478)."""
-    normal0 = W.assemble(states, f, fix_ext=fix_ext, loss_delta=loss_delta)
+    # IMU information matrices are constant across iterations: invert once.
+    imu_infos = W._imu_infos(f)
+    normal0 = W.assemble(states, f, fix_ext=fix_ext, loss_delta=loss_delta,
+                         imu_infos=imu_infos)
 
     # λ0 = 1e-5 · min(max |diag|, 5e10) over the FULL diagonal (poses+landmarks)
     max_diag = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(normal0.Hpp))),
@@ -85,7 +89,12 @@ def solve_window(states: W.WindowStates, f: W.WindowFactors,
         cand_err = -(f.Jt_prior_inv @ cand_b_prior)
 
         f_cand = f._replace(b_prior=cand_b_prior, err_prior=cand_err)
-        temp_chi = W.robust_chi2(cand, f_cand, loss_delta=loss_delta)
+        # One assembly per attempt: its chi2 IS the candidate cost, and on
+        # accept the normal equations are already built for the next step
+        # (the reference evaluates chi then re-runs MakeHessian; fused here).
+        normal_cand = W.assemble(cand, f_cand, fix_ext=fix_ext,
+                                 loss_delta=loss_delta, imu_infos=imu_infos)
+        temp_chi = normal_cand.chi2
 
         dx_full = jnp.concatenate([dx_p, dx_m])
         b_full = jnp.concatenate([s.normal.bp, s.normal.bm])
@@ -96,12 +105,10 @@ def solve_window(states: W.WindowStates, f: W.WindowFactors,
         def accept(s):
             alpha = jnp.minimum(1.0 - (2.0 * rho - 1.0) ** 3, 2.0 / 3.0)
             lam = s.lam * jnp.maximum(1.0 / 3.0, alpha)
-            normal = W.assemble(cand, f_cand, fix_ext=fix_ext,
-                                loss_delta=loss_delta)
             stop = (s.last_chi - temp_chi) < 1e-5
             return s._replace(
                 states=cand, b_prior=cand_b_prior, err_prior=cand_err,
-                normal=normal, lam=lam, ni=jnp.asarray(2.0, s.ni.dtype),
+                normal=normal_cand, lam=lam, ni=jnp.asarray(2.0, s.ni.dtype),
                 chi=temp_chi, last_chi=temp_chi,
                 it=s.it + 1, false_cnt=jnp.asarray(0, jnp.int32), stop=stop)
 

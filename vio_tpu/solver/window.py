@@ -138,7 +138,7 @@ def _imu_infos(f: WindowFactors):
 
 
 def robust_chi2(states: WindowStates, f: WindowFactors,
-                loss_delta: float = 1.0) -> jnp.ndarray:
+                loss_delta: float = 1.0, imu_infos=None) -> jnp.ndarray:
     """0.5 · (Σ robust chi² over edges + ‖err_prior‖)
     (reference problem.cc:497-507 / 549-556)."""
     rr = _reproj_residuals(states, f)                       # (F, W1, 2)
@@ -149,7 +149,7 @@ def robust_chi2(states: WindowStates, f: WindowFactors,
     chi = jnp.sum(jnp.where(m, rho0, 0.0))
 
     ir = _imu_residuals(states, f)                          # (W, 15)
-    infos = _imu_infos(f)
+    infos = _imu_infos(f) if imu_infos is None else imu_infos
     imu_e2 = jnp.einsum("wr,wrs,ws->w", ir, infos, ir)
     chi = chi + jnp.sum(jnp.where(f.imu_valid, imu_e2, 0.0))
 
@@ -173,7 +173,11 @@ class Normal(NamedTuple):
 
 @partial(jax.jit, static_argnames=("fix_ext", "loss_delta"))
 def assemble(states: WindowStates, f: WindowFactors,
-             fix_ext: bool = True, loss_delta: float = 1.0) -> Normal:
+             fix_ext: bool = True, loss_delta: float = 1.0,
+             imu_infos=None) -> Normal:
+    """imu_infos: optional precomputed (W, 15, 15) information matrices —
+    they depend only on the preintegration covariances, which are constant
+    across LM iterations, so callers in a solve loop compute them once."""
     W1 = states.Ps.shape[0]
     F = states.inv_dep.shape[0]
     P = num_pose_params(W1 - 1)
@@ -267,7 +271,7 @@ def assemble(states: WindowStates, f: WindowFactors,
     Jimu = jnp.concatenate([jnp.zeros((W, 15, 6), dtype), Jfr], axis=-1)
     Jimu = Jimu * imu_m[:, None, None]
 
-    infos = _imu_infos(f)                                         # (W, 15, 15)
+    infos = _imu_infos(f) if imu_infos is None else imu_infos     # (W, 15, 15)
     WJi = jnp.einsum("wrs,wsp->wrp", infos, Jimu)
     Hpp = Hpp + jnp.einsum("wrp,wrq->pq", Jimu, WJi)
     info_ir = jnp.einsum("wrs,ws->wr", infos, ir) * imu_m[:, None]
