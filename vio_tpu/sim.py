@@ -208,17 +208,15 @@ def generate(noise: bool = False,
     )
 
 
-def render_image(data: SimData, k: int, height: int = 640, width: int = 640,
+def render_blobs(uvs, height: int = 640, width: int = 640,
                  sigma: float = 1.8, amplitude: float = 200.0,
                  background: float = 12.0) -> np.ndarray:
-    """Render frame k as a grayscale image: a sub-pixel-accurate Gaussian
-    blob per visible landmark (the simulator writes feature files, not
-    images — this renderer closes the loop so the KLT frontend can be
-    exercised against exact geometry; blob centers ARE the projections)."""
+    """Render a grayscale image with a sub-pixel-accurate Gaussian blob at
+    each (u, v) in ``uvs`` — the synthetic-image primitive behind
+    render_image, also used directly by stereo/flow tests."""
     img = np.full((height, width), background, np.float32)
     r = int(np.ceil(3 * sigma))
-    for lid in np.where(data.obs_valid[k])[0]:
-        u, v = data.obs_uv[k, lid]
+    for u, v in np.asarray(uvs, np.float64):
         x0 = int(np.floor(u)) - r
         y0 = int(np.floor(v)) - r
         xs = np.arange(x0, x0 + 2 * r + 1)
@@ -231,3 +229,14 @@ def render_image(data: SimData, k: int, height: int = 640, width: int = 640,
         if xa < xb and ya < yb:
             img[ya:yb, xa:xb] += patch[ya - y0:yb - y0, xa - x0:xb - x0]
     return np.clip(img, 0.0, 255.0)
+
+
+def render_image(data: SimData, k: int, height: int = 640, width: int = 640,
+                 sigma: float = 1.8, amplitude: float = 200.0,
+                 background: float = 12.0) -> np.ndarray:
+    """Render frame k of a SimData sequence: one blob per visible landmark
+    (the simulator writes feature files, not images — this renderer closes
+    the loop so the KLT frontend can be exercised against exact geometry;
+    blob centers ARE the projections)."""
+    uvs = data.obs_uv[k][data.obs_valid[k]]
+    return render_blobs(uvs, height, width, sigma, amplitude, background)
