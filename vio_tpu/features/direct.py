@@ -101,3 +101,107 @@ def direct_pose_estimation(img1, img2, pts_ref, depth_ref, K,
         R, t = _estimate_level(pyr1[lv], pyr2[lv], pts_ref * s, depth_ref,
                                Ks, R, t, iters)
     return R, t
+
+
+# ---------------------------------------------------------------------------
+# Direct (photometric) bundle adjustment: poses + XYZ landmarks
+# (reference: 07-backend-optimization/02-direct-ba/direct_ba.cpp:44,124-319 —
+# 4x4-patch photometric error, g2o pose/point graph; here one blockba
+# camera-point Schur system with fwd-mode Jacobians through the bilinear
+# image sampler)
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+from ..solver import blockba
+from ..utils import lie as _lie
+
+
+class DirectBAProblem(NamedTuple):
+    images: jnp.ndarray     # (C, H, W)
+    K: tuple                # (fx, fy, cx, cy) — static
+    cam_q: jnp.ndarray      # (C, 4) world->cam quaternion
+    cam_t: jnp.ndarray      # (C, 3)
+    points: jnp.ndarray     # (M, 3) world XYZ
+    ref_patch: jnp.ndarray  # (M, 16) target intensities (from host frame)
+    cam_idx: jnp.ndarray    # (O,)
+    pt_idx: jnp.ndarray     # (O,)
+    valid: jnp.ndarray      # (O,) bool
+
+
+def _photo_residual(img, K, q, t, X, ref_patch):
+    """16-vector photometric residual of one (camera, point) observation."""
+    fx, fy, cx, cy = K
+    offs = _patch_offsets(img.dtype)
+    Xc = _lie.quat_rotate(q, X) + t
+    z = jnp.maximum(Xc[2], 1e-3)
+    u = fx * Xc[0] / z + cx
+    v = fy * Xc[1] / z + cy
+    pos = jnp.stack([u, v])[None, :] + offs            # (16, 2)
+    I = pyramid.bilinear_sample(img, pos[None])[0]     # (16,)
+    inb = ((u > HALF_PATCH + 1) & (u < img.shape[1] - HALF_PATCH - 2) &
+           (v > HALF_PATCH + 1) & (v < img.shape[0] - HALF_PATCH - 2) &
+           (Xc[2] > 0.1))
+    return jnp.where(inb, I - ref_patch, 0.0), inb
+
+
+def _photo_residual_jac(img, K, q, t, X, ref_patch):
+    def h(z):
+        dq = _lie.so3_exp_quat(z[0:3])
+        r, _ = _photo_residual(img, K, _lie.quat_mul(q, dq), t + z[3:6],
+                               X + z[6:9], ref_patch)
+        return r
+    z0 = jnp.zeros((9,), X.dtype)
+    r, inb = _photo_residual(img, K, q, t, X, ref_patch)
+    J = jax.jacfwd(h)(z0)                               # (16, 9)
+    return r, J, inb
+
+
+def _direct_assemble(p: DirectBAProblem, C: int, M: int, gauge_fix: int,
+                     huber: float):
+    dtype = p.points.dtype
+    r, J, inb = jax.vmap(
+        lambda ci, pi: _photo_residual_jac(
+            p.images[ci], p.K, p.cam_q[ci], p.cam_t[ci], p.points[pi],
+            p.ref_patch[pi]))(p.cam_idx, p.pt_idx)      # (O,16),(O,16,9)
+
+    free_obs = (p.cam_idx >= gauge_fix).astype(dtype)
+    J = J.at[:, :, 0:6].multiply(free_obs[:, None, None])
+
+    m = (p.valid & inb).astype(dtype)
+    e2 = jnp.sum(r * r, axis=-1)
+    e = jnp.sqrt(jnp.maximum(e2, 1e-30))
+    w = jnp.where(e <= huber, 1.0, huber / e) * m
+    rho = jnp.where(e <= huber, e2, huber * (2.0 * e - huber)) * m
+
+    free_param = (jnp.arange(C) >= gauge_fix).astype(dtype)
+    fixed_diag = jnp.tile((1.0 - free_param)[:, None], (1, 6)).reshape(6 * C)
+    return blockba.assemble_blocks(r, J[:, :, 0:6], J[:, :, 6:9],
+                                   p.cam_idx, p.pt_idx, w, rho, C, M,
+                                   fixed_diag=fixed_diag)
+
+
+_direct_assemble_j = jax.jit(_direct_assemble,
+                             static_argnames=("C", "M", "gauge_fix", "huber"))
+
+
+def _direct_apply(p: DirectBAProblem, dxc, dxp, gauge_fix: int):
+    mask = (jnp.arange(p.cam_q.shape[0]) >= gauge_fix).astype(p.cam_t.dtype)
+    dxc = dxc * mask[:, None]
+    q = _lie.quat_normalize(jax.vmap(_lie.quat_mul)(
+        p.cam_q, jax.vmap(_lie.so3_exp_quat)(dxc[:, 0:3])))
+    return p._replace(cam_q=q, cam_t=p.cam_t + dxc[:, 3:6],
+                      points=p.points + dxp)
+
+
+def direct_ba(p: DirectBAProblem, max_iter: int = 30, gauge_fix: int = 1,
+              huber: float = 40.0, verbose: bool = False):
+    """Photometric BA over poses + XYZ points (the reference's direct-BA
+    assignment).  Returns (optimized problem, chi2 history)."""
+    C = p.cam_q.shape[0]
+    M = p.points.shape[0]
+    return blockba.lm_loop(
+        p,
+        lambda p_: _direct_assemble_j(p_, C, M, gauge_fix, huber),
+        lambda p_, dxc, dxp: _direct_apply(p_, dxc, dxp, gauge_fix),
+        C, M, max_iter=max_iter, verbose=verbose)

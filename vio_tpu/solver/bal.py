@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import linsolve
 from ..utils import lie
+from . import blockba
 
 
 class BalProblem(NamedTuple):
@@ -94,19 +94,10 @@ def _obs_residual_jac(q, t, fkk, X, uv, optimize_intrinsics: bool):
     return r, J
 
 
-class _Normal(NamedTuple):
-    Hcc: jnp.ndarray   # (9C, 9C)
-    bc: jnp.ndarray    # (9C,)
-    Hpp: jnp.ndarray   # (M, 3, 3)
-    bp: jnp.ndarray    # (M, 3)
-    Wcp: jnp.ndarray   # (C, M, 9, 3)
-    chi2: jnp.ndarray  # ()
-
-
 @partial(jax.jit, static_argnames=("C", "M", "optimize_intrinsics", "huber",
                                    "gauge_fix"))
 def _assemble(p: BalProblem, C: int, M: int, optimize_intrinsics: bool,
-              huber: float, gauge_fix: int):
+              huber: float, gauge_fix: int) -> blockba.BlockNormal:
     dtype = p.points.dtype
     q = p.cam_q[p.cam_idx]
     t = p.cam_t[p.cam_idx]
@@ -126,57 +117,17 @@ def _assemble(p: BalProblem, C: int, M: int, optimize_intrinsics: bool,
     e = jnp.sqrt(jnp.maximum(e2, 1e-30))
     w = jnp.where(e <= huber, 1.0, huber / e) * m
     rho = jnp.where(e <= huber, e2, huber * (2.0 * e - huber)) * m
-    chi2 = 0.5 * jnp.sum(rho)
 
-    Jc = J[:, :, 0:9] * w[:, None, None]                # weighted
-    Jp = J[:, :, 9:12]
-    rw = r * w[:, None]
-
-    O = r.shape[0]
-    # camera Hessian: scatter per-obs 9x9 blocks onto (C,C) block-diagonal
-    Hcc_blk = jnp.einsum("ori,orj->oij", Jc, J[:, :, 0:9])          # (O,9,9)
-    bc_blk = -jnp.einsum("ori,or->oi", J[:, :, 0:9], rw)            # (O,9)
-    Hcc_d = jax.ops.segment_sum(Hcc_blk, p.cam_idx, num_segments=C)
-    bc_d = jax.ops.segment_sum(bc_blk, p.cam_idx, num_segments=C)
-    Hcc = jnp.zeros((C, C, 9, 9), dtype).at[jnp.arange(C), jnp.arange(C)].set(Hcc_d)
-    Hcc = Hcc.transpose(0, 2, 1, 3).reshape(9 * C, 9 * C)
-    bc = bc_d.reshape(9 * C)
     # unit diagonal on fixed parameters so the reduced system stays SPD
     free_param = (jnp.arange(C) >= gauge_fix).astype(dtype)  # (C,)
     fp9 = jnp.tile(free_param[:, None], (1, 9))
     if not optimize_intrinsics:
         fp9 = fp9.at[:, 6:9].set(0.0)
-    fp9 = fp9.reshape(9 * C)
-    Hcc = Hcc + jnp.diag(1.0 - fp9)
+    fixed_diag = 1.0 - fp9.reshape(9 * C)
 
-    # point blocks
-    Hpp_blk = jnp.einsum("ori,orj->oij", Jp * w[:, None, None], Jp)  # (O,3,3)
-    bp_blk = -jnp.einsum("ori,or->oi", Jp, rw)
-    Hpp = jax.ops.segment_sum(Hpp_blk, p.pt_idx, num_segments=M)
-    bp = jax.ops.segment_sum(bp_blk, p.pt_idx, num_segments=M)
-
-    # coupling W: scatter (O,9,3) blocks into (C*M, 9, 3) flat segments
-    Wblk = jnp.einsum("ori,orj->oij", Jc, Jp)                        # (O,9,3)
-    flat = p.cam_idx.astype(jnp.int32) * M + p.pt_idx.astype(jnp.int32)
-    Wcp = jax.ops.segment_sum(Wblk, flat, num_segments=C * M)
-    Wcp = Wcp.reshape(C, M, 9, 3)
-    return _Normal(Hcc=Hcc, bc=bc, Hpp=Hpp, bp=bp, Wcp=Wcp, chi2=chi2)
-
-
-def _schur_solve(n: _Normal, lam, C: int, M: int):
-    dtype = n.bc.dtype
-    eye3 = jnp.eye(3, dtype=dtype)
-    Hpp_d = n.Hpp + lam * eye3[None]
-    Hpp_inv = jnp.linalg.inv(Hpp_d + 1e-12 * eye3[None])             # (M,3,3)
-    WHinv = jnp.einsum("cmij,mjk->cmik", n.Wcp, Hpp_inv)             # (C,M,9,3)
-    S = (n.Hcc + lam * jnp.eye(9 * C, dtype=dtype)
-         - jnp.einsum("cmik,dmjk->cidj", WHinv, n.Wcp).reshape(9 * C, 9 * C))
-    rhs = n.bc - jnp.einsum("cmik,mk->ci", WHinv, n.bp).reshape(9 * C)
-    dxc = linsolve.spd_solve(S, rhs)
-    dxc_b = dxc.reshape(C, 9)
-    rp = n.bp - jnp.einsum("cmik,ci->mk", n.Wcp, dxc_b)
-    dxp = jnp.einsum("mij,mj->mi", Hpp_inv, rp)
-    return dxc_b, dxp
+    return blockba.assemble_blocks(r, J[:, :, 0:9], J[:, :, 9:12],
+                                   p.cam_idx, p.pt_idx, w, rho, C, M,
+                                   fixed_diag=fixed_diag)
 
 
 def _apply(p: BalProblem, dxc, dxp, gauge_fix: int):
@@ -198,34 +149,8 @@ def solve(p: BalProblem, max_iter: int = 30, optimize_intrinsics: bool = True,
     once, not per frame); each step is jitted device work."""
     C = p.cam_q.shape[0]
     M = p.points.shape[0]
-    n = _assemble(p, C, M, optimize_intrinsics, huber, gauge_fix)
-    lam = 1e-4 * float(jnp.max(jnp.abs(jnp.diagonal(n.Hcc))))
-    ni = 2.0
-    chi = float(n.chi2)
-    history = [chi]
-    for _ in range(max_iter):
-        dxc, dxp = _schur_solve(n, jnp.asarray(lam, p.points.dtype), C, M)
-        cand = _apply(p, dxc, dxp, gauge_fix)
-        n_cand = _assemble(cand, C, M, optimize_intrinsics, huber, gauge_fix)
-        chi_cand = float(n_cand.chi2)
-        dx = jnp.concatenate([dxc.reshape(-1), dxp.reshape(-1)])
-        b = jnp.concatenate([n.bc, n.bp.reshape(-1)])
-        scale = 0.5 * float(jnp.dot(dx, lam * dx + b)) + 1e-12
-        rho = (chi - chi_cand) / scale
-        if rho > 0 and np.isfinite(chi_cand):
-            alpha = min(1.0 - (2.0 * rho - 1.0) ** 3, 2.0 / 3.0)
-            lam *= max(1.0 / 3.0, alpha)
-            ni = 2.0
-            stop = (chi - chi_cand) < 1e-8 * max(chi, 1.0)
-            p, n, chi = cand, n_cand, chi_cand
-            history.append(chi)
-            if verbose:
-                print(f"iter chi2={chi:.6e} lam={lam:.3e}")
-            if stop:
-                break
-        else:
-            lam *= ni
-            ni *= 2.0
-            if lam > 1e16:
-                break
-    return p, history
+    return blockba.lm_loop(
+        p,
+        lambda p_: _assemble(p_, C, M, optimize_intrinsics, huber, gauge_fix),
+        lambda p_, dxc, dxp: _apply(p_, dxc, dxp, gauge_fix),
+        C, M, max_iter=max_iter, verbose=verbose)
