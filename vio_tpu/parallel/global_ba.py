@@ -1,0 +1,254 @@
+"""Large-window / global bundle adjustment, sharded over a device mesh.
+
+This is the scale-out generalization of the sliding-window solver — the
+capability the reference has no counterpart for (its window is fixed at 11
+keyframes, vins-mono/include/parameters.h:35) and the BASELINE.json north
+star asks for: hundreds of keyframes and tens of thousands of landmarks
+solved collectively, with the observation axis sharded across devices.
+
+Structure (all static shapes):
+- poses (N, 3)+(N, 4), 6-dof local updates; landmarks are inverse depths
+  (M,) anchored in a host frame (the VINS parameterization, so the
+  landmark Hessian block is DIAGONAL and its Schur elimination is
+  embarrassingly parallel).
+- observations are a flat batch (O,): landmark index, observing frame
+  index, bearing; the landmark's host frame and host bearing live in
+  (M,) tables.
+- Assembly avoids the small-window one-hot expansion (O(F*W^2) memory,
+  solver/window.py) entirely: per-observation 6-dof pose Jacobian blocks
+  are scatter-added with ``segment_sum`` into block-pair (N, N, 6, 6),
+  pose-landmark (N*M sparse -> dense (6N, M)) and diagonal landmark terms.
+- Reduced camera system S = Hpp - Hpm diag(Hmm)^-1 Hpm^T is ONE MXU GEMM;
+  the damped solve runs on the Pallas VMEM kernel (ops/linsolve.py) for
+  P = 6N up to ~1024.
+- Sharding: shard the observation axis (and the landmark tables) across
+  the mesh with NamedSharding; GSPMD turns the segment-sums and the
+  S GEMM's contractions into psum over ICI.  No hand-written collectives.
+
+Reference lineage for the math: reprojection factor edge_reprojection.cc,
+Schur solve problem.cc:409-446 — re-derived at scale.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import factors
+from ..ops import linsolve
+from ..utils import lie
+
+
+class GlobalBA(NamedTuple):
+    # states
+    Ps: jnp.ndarray        # (N, 3)
+    Qs: jnp.ndarray        # (N, 4)
+    inv_dep: jnp.ndarray   # (M,)
+    # landmark tables
+    host: jnp.ndarray      # (M,) int32 host frame
+    bearing0: jnp.ndarray  # (M, 3) unit-plane bearing in host frame
+    lm_valid: jnp.ndarray  # (M,) bool
+    # observations
+    lm_idx: jnp.ndarray    # (O,) int32
+    frame: jnp.ndarray     # (O,) int32 observing frame (!= host)
+    bearing: jnp.ndarray   # (O, 3)
+    valid: jnp.ndarray     # (O,) bool
+    # config
+    sqrt_info: jnp.ndarray  # () projection sqrt information
+
+
+class GlobalNormal(NamedTuple):
+    Hpp: jnp.ndarray   # (6N, 6N)
+    bp: jnp.ndarray    # (6N,)
+    Hpm: jnp.ndarray   # (6N, M)
+    Hmm: jnp.ndarray   # (M,)
+    bm: jnp.ndarray    # (M,)
+    chi2: jnp.ndarray  # ()
+
+
+def _identity_ext(dtype):
+    return jnp.zeros(3, dtype), lie.quat_identity(dtype)
+
+
+@partial(jax.jit, static_argnames=("N", "M", "fix_frames", "loss_delta"))
+def assemble(p: GlobalBA, N: int, M: int, fix_frames: int = 1,
+             loss_delta: float = 1.0) -> GlobalNormal:
+    dtype = p.Ps.dtype
+    tic, qic = _identity_ext(dtype)
+    inv_dep = jnp.where(p.lm_valid, p.inv_dep, 1.0)
+
+    hi = p.host[p.lm_idx]                       # (O,) host frame per obs
+    d = inv_dep[p.lm_idx]
+    b0 = p.bearing0[p.lm_idx]
+
+    def per_obs(d_, Pi, Qi, Pj, Qj, b0_, bj):
+        r = factors.reproj_residual(d_, Pi, Qi, Pj, Qj, tic, qic, b0_, bj)
+        Jd, Jpi, Jpj, _ = factors.reproj_jacobians(
+            d_, Pi, Qi, Pj, Qj, tic, qic, b0_, bj)
+        return r, Jd, Jpi, Jpj
+
+    r, Jd, Jpi, Jpj = jax.vmap(per_obs)(
+        d, p.Ps[hi], p.Qs[hi], p.Ps[p.frame], p.Qs[p.frame], b0, p.bearing)
+    # r (O,2), Jd (O,2,1), Jpi/Jpj (O,2,6)
+
+    m = (p.valid & p.lm_valid[p.lm_idx] & (hi != p.frame)).astype(dtype)
+    s2 = p.sqrt_info ** 2
+    e2 = s2 * jnp.sum(r * r, axis=-1)
+    rho0, rho1, rho2 = factors.cauchy_rho(e2, loss_delta)
+    w_err = p.sqrt_info * r
+    guard = (rho1 + 2.0 * rho2 * e2 > 0.0).astype(dtype)
+    eye2 = jnp.eye(2, dtype=dtype)
+    rinfo = (rho1[..., None, None] * eye2 +
+             (guard * 2.0 * rho2)[..., None, None] *
+             (w_err[..., :, None] * w_err[..., None, :])) * s2   # (O,2,2)
+    rinfo = rinfo * m[:, None, None]
+    chi2 = jnp.sum(jnp.where(m > 0, rho0, 0.0))
+
+    # fixed-frame gauge zeroing
+    free_i = (hi >= fix_frames).astype(dtype)
+    free_j = (p.frame >= fix_frames).astype(dtype)
+    Jpi = Jpi * free_i[:, None, None]
+    Jpj = Jpj * free_j[:, None, None]
+    Jd2 = Jd[..., 0]                                              # (O,2)
+
+    WJi = jnp.einsum("ors,osa->ora", rinfo, Jpi)                  # (O,2,6)
+    WJj = jnp.einsum("ors,osa->ora", rinfo, Jpj)
+    WJd = jnp.einsum("ors,os->or", rinfo, Jd2)                    # (O,2)
+    # b uses drho * J^T * info * r with info = s2*I (reference MakeHessian)
+    info_r = (s2 * rho1[:, None] * m[:, None]) * r                # (O,2)
+
+    # ---- pose-pose blocks: scatter (i,i),(i,j),(j,i),(j,j) ----
+    ii = hi.astype(jnp.int32) * N + hi.astype(jnp.int32)
+    ij = hi.astype(jnp.int32) * N + p.frame.astype(jnp.int32)
+    ji = p.frame.astype(jnp.int32) * N + hi.astype(jnp.int32)
+    jj = p.frame.astype(jnp.int32) * N + p.frame.astype(jnp.int32)
+    Bii = jnp.einsum("ora,orb->oab", Jpi, WJi)
+    Bij = jnp.einsum("ora,orb->oab", Jpi, WJj)
+    Bji = jnp.einsum("ora,orb->oab", Jpj, WJi)
+    Bjj = jnp.einsum("ora,orb->oab", Jpj, WJj)
+    blocks = jnp.concatenate([Bii, Bij, Bji, Bjj], axis=0)
+    segs = jnp.concatenate([ii, ij, ji, jj], axis=0)
+    Hpp_blk = jax.ops.segment_sum(blocks, segs, num_segments=N * N)
+    Hpp = Hpp_blk.reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+
+    bp_blk = jax.ops.segment_sum(
+        jnp.concatenate([-jnp.einsum("ora,or->oa", Jpi, info_r),
+                         -jnp.einsum("ora,or->oa", Jpj, info_r)], axis=0),
+        jnp.concatenate([hi.astype(jnp.int32), p.frame.astype(jnp.int32)]),
+        num_segments=N)
+    bp = bp_blk.reshape(6 * N)
+
+    # ---- pose-landmark coupling (6N, M) ----
+    col_i = hi.astype(jnp.int32) * M + p.lm_idx.astype(jnp.int32)
+    col_j = p.frame.astype(jnp.int32) * M + p.lm_idx.astype(jnp.int32)
+    Wi = jnp.einsum("ora,or->oa", Jpi, WJd)                       # (O,6)
+    Wj = jnp.einsum("ora,or->oa", Jpj, WJd)
+    Hpm_flat = jax.ops.segment_sum(
+        jnp.concatenate([Wi, Wj], axis=0),
+        jnp.concatenate([col_i, col_j], axis=0), num_segments=N * M)
+    Hpm = Hpm_flat.reshape(N, M, 6).transpose(0, 2, 1).reshape(6 * N, M)
+
+    # ---- landmark diagonal ----
+    Hmm = jax.ops.segment_sum(jnp.einsum("or,or->o", Jd2, WJd),
+                              p.lm_idx, num_segments=M)
+    bm = jax.ops.segment_sum(-jnp.einsum("or,or->o", Jd2, info_r),
+                             p.lm_idx, num_segments=M)
+
+    # unit diagonal on fixed poses keeps the reduced system SPD
+    free_pose = (jnp.arange(N) >= fix_frames).astype(dtype)
+    fixed_diag = jnp.repeat(1.0 - free_pose, 6)
+    Hpp = Hpp + jnp.diag(fixed_diag)
+
+    return GlobalNormal(Hpp=Hpp, bp=bp, Hpm=Hpm, Hmm=Hmm, bm=bm,
+                        chi2=0.5 * chi2)
+
+
+def schur_step(n: GlobalNormal, lam, lm_valid):
+    """Landmark Schur + damped pose solve + back-substitution."""
+    P6 = n.Hpp.shape[0]
+    Hmm_inv = jnp.where(n.Hmm > 1e-12, 1.0 / jnp.maximum(n.Hmm, 1e-12), 0.0)
+    Hmm_inv = jnp.where(lm_valid, Hmm_inv, 0.0)
+    tempH = n.Hpm * Hmm_inv[None, :]
+    S = n.Hpp - tempH @ n.Hpm.T                      # <- MXU GEMM (6N,M,6N)
+    rhs = n.bp - tempH @ n.bm
+    S = S + lam * jnp.eye(P6, dtype=S.dtype)
+    dxp = linsolve.spd_solve(S, rhs)
+    dxm = Hmm_inv * (n.bm - n.Hpm.T @ dxp)
+    return dxp, dxm
+
+
+def apply_delta(p: GlobalBA, dxp, dxm, fix_frames: int = 1) -> GlobalBA:
+    N = p.Ps.shape[0]
+    d = dxp.reshape(N, 6)
+    mask = (jnp.arange(N) >= fix_frames).astype(p.Ps.dtype)
+    d = d * mask[:, None]
+    Qs = lie.quat_normalize(jax.vmap(lie.quat_mul)(
+        p.Qs, jax.vmap(lie.so3_exp_quat)(d[:, 3:6])))
+    # inverse depth stays positive: a sign flip puts the landmark behind
+    # its host camera, where the robust kernel saturates and the landmark
+    # is stranded at zero gradient
+    inv_dep = jnp.maximum(p.inv_dep + dxm, 1e-3)
+    return p._replace(Ps=p.Ps + d[:, 0:3], Qs=Qs, inv_dep=inv_dep)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "fix_frames", "loss_delta"))
+def solve(p: GlobalBA, max_iter: int = 20, fix_frames: int = 1,
+          loss_delta: float = 1.0):
+    """Jitted Nielsen-LM over the global problem (lax.while_loop, same
+    control flow as solver/lm.py).  Returns (p, stats)."""
+    N = p.Ps.shape[0]
+    M = p.inv_dep.shape[0]
+    n0 = assemble(p, N, M, fix_frames, loss_delta)
+    max_diag = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(n0.Hpp))),
+                           jnp.max(jnp.abs(n0.Hmm)))
+    lam0 = 1e-5 * jnp.minimum(max_diag, 5e10)
+
+    def cond(s):
+        p_, n, lam, ni, chi, it, stop = s
+        return jnp.logical_and(~stop, it < max_iter)
+
+    def body(s):
+        p_, n, lam, ni, chi, it, stop = s
+        dxp, dxm = schur_step(n, lam, p_.lm_valid)
+        cand = apply_delta(p_, dxp, dxm, fix_frames)
+        n_cand = assemble(cand, N, M, fix_frames, loss_delta)
+        dx = jnp.concatenate([dxp, dxm])
+        b = jnp.concatenate([n.bp, n.bm])
+        scale = 0.5 * jnp.dot(dx, lam * dx + b) + 1e-9
+        rho = (chi - n_cand.chi2) / scale
+        good = jnp.logical_and(rho > 0, jnp.isfinite(n_cand.chi2))
+
+        def accept(_):
+            alpha = jnp.minimum(1.0 - (2.0 * rho - 1.0) ** 3, 2.0 / 3.0)
+            stop_ = (chi - n_cand.chi2) < 1e-10 * jnp.maximum(chi, 1.0)
+            return (cand, n_cand, lam * jnp.maximum(1.0 / 3.0, alpha),
+                    jnp.asarray(2.0, lam.dtype), n_cand.chi2, it + 1, stop_)
+
+        def reject(_):
+            return (p_, n, lam * ni, ni * 2.0, chi, it + 1,
+                    lam * ni > 1e16)
+
+        return jax.lax.cond(good, accept, reject, None)
+
+    init = (p, n0, lam0, jnp.asarray(2.0, lam0.dtype), n0.chi2,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    p_out, n_out, lam, _, chi, it, _ = jax.lax.while_loop(cond, body, init)
+    return p_out, dict(chi2=chi, chi2_init=n0.chi2, iterations=it, lam=lam)
+
+
+# ---------------------------------------------------------------------------
+# Sharding
+# ---------------------------------------------------------------------------
+
+def shard_problem(p: GlobalBA, mesh: Mesh, axis: str = "factor") -> GlobalBA:
+    """Shard the observation axis and landmark tables across the mesh;
+    poses replicate.  O and M must divide the mesh size."""
+    r = NamedSharding(mesh, P())
+    o = NamedSharding(mesh, P(axis))
+    sh = GlobalBA(Ps=r, Qs=r, inv_dep=o, host=o, bearing0=o, lm_valid=o,
+                  lm_idx=o, frame=o, bearing=o, valid=o, sqrt_info=r)
+    return jax.tree.map(jax.device_put, p, sh)
