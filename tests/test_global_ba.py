@@ -47,24 +47,33 @@ def make_problem(N=12, M=120, obs_per_lm=6, seed=0, dtype=jnp.float64):
         Xc = R.T @ (X - Ps[k])
         return Xc
 
-    lm_valid = np.ones(M, bool)
-    for m in range(M):
-        h = host[m]
-        Xc = project(h, pts[m])
-        if Xc[2] < 1.0 or abs(Xc[0] / Xc[2]) > 2 or abs(Xc[1] / Xc[2]) > 2:
-            lm_valid[m] = False  # not properly visible in its host frame
-            inv_dep[m] = 1.0
-            bearing0[m] = [0.0, 0.0, 1.0]
-            continue
-        inv_dep[m] = 1.0 / Xc[2]
-        bearing0[m] = Xc / Xc[2]
-        for j in range(h + 1, h + 1 + obs_per_lm):
-            Xj = project(j, pts[m])
-            if Xj[2] < 1.0 or abs(Xj[0] / Xj[2]) > 2 or abs(Xj[1] / Xj[2]) > 2:
-                continue  # cheirality / FOV gate
-            lm_idx.append(m)
-            frame.append(j)
-            bearing.append(Xj / Xj[2])
+    # vectorized projection of every landmark into every frame
+    Rs = np.stack([np.asarray(lie.quat_to_mat(jnp.asarray(q))) for q in Qs])
+    Xc_all = np.einsum("kji,mj->kmi", Rs,
+                       pts[None, :, :].repeat(1, 0)[0][None, :, :]
+                       .repeat(N, 0).reshape(N, M, 3)[0]) * 0.0  # placeholder
+    Xc_all = np.einsum("kji,kmj->kmi", Rs,
+                       pts[None, :, :] - Ps[:, None, :])     # (N, M, 3)
+    good = ((Xc_all[..., 2] > 1.0) &
+            (np.abs(Xc_all[..., 0] / Xc_all[..., 2]) <= 2) &
+            (np.abs(Xc_all[..., 1] / Xc_all[..., 2]) <= 2))   # (N, M)
+
+    lm_valid = good[host, np.arange(M)]
+    Xh = Xc_all[host, np.arange(M)]                           # (M, 3)
+    inv_dep = np.where(lm_valid, 1.0 / np.maximum(Xh[:, 2], 1e-6), 1.0)
+    bearing0 = np.where(lm_valid[:, None],
+                        Xh / np.maximum(Xh[:, 2:3], 1e-6),
+                        np.array([0.0, 0.0, 1.0]))
+
+    offs = np.arange(1, obs_per_lm + 1)
+    fr = host[None, :] + offs[:, None]                        # (K, M)
+    ok = (fr < N) & lm_valid[None, :] & good[np.minimum(fr, N - 1),
+                                             np.arange(M)[None, :]]
+    ks, ms = np.nonzero(ok)
+    frame = list(fr[ks, ms].astype(np.int32))
+    lm_idx = list(ms.astype(np.int32))
+    Xj = Xc_all[fr[ks, ms], ms]
+    bearing = list(Xj / Xj[:, 2:3])
 
     O = len(lm_idx)
     # pad O to a multiple of 8 for the mesh test
