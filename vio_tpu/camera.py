@@ -1,10 +1,11 @@
-"""Camera models: pinhole (radtan) + equidistant (fisheye), batched jnp.
+"""Camera models: pinhole (radtan), equidistant (fisheye), MEI
+(catadioptric) and Scaramuzza (omnidirectional), batched jnp.
 
-TPU-native subset of camodocal (reference:
-src/camera_models/camera_models/{PinholeCamera.cc,EquidistantCamera.cc},
-factory at CameraFactory.cc:90).  EuRoC and the simulator only need these
-two.  Unprojection (``liftProjective``) uses a fixed-iteration inverse
-distortion (reference: PinholeCamera.cc:485-512 recursive inverse) so it is
+TPU-native re-derivation of the camodocal model family (reference:
+src/camera_models/camera_models/{PinholeCamera.cc,EquidistantCamera.cc,
+CataCamera.cc,ScaramuzzaCamera.cc}, factory at CameraFactory.cc:90).
+Unprojection (``liftProjective``) uses fixed-iteration inverse distortion
+(reference: PinholeCamera.cc:485-512 recursive inverse) so everything is
 jit/vmap-safe with static shapes.
 """
 from __future__ import annotations
@@ -66,6 +67,179 @@ class PinholeCamera:
     def lift_to_ray(self, uv):
         pn = self.lift(uv)
         return jnp.concatenate([pn, jnp.ones(pn.shape[:-1] + (1,), pn.dtype)], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CataCamera:
+    """MEI unified catadioptric model: unit-sphere projection with mirror
+    parameter ``xi``, radtan distortion, then the generalized focal
+    (gamma1, gamma2) — reference: CataCamera.cc (spaceToPlane /
+    liftProjective)."""
+    xi: float
+    gamma1: float
+    gamma2: float
+    u0: float
+    v0: float
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    width: int = 0
+    height: int = 0
+
+    def _distort(self, p):
+        x, y = p[..., 0], p[..., 1]
+        r2 = x * x + y * y
+        rad = self.k1 * r2 + self.k2 * r2 * r2
+        dx = x * rad + 2.0 * self.p1 * x * y + self.p2 * (r2 + 2.0 * x * x)
+        dy = y * rad + self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * x * y
+        return p + jnp.stack([dx, dy], axis=-1)
+
+    def project(self, pc):
+        """Camera-frame 3D points (..., 3) → pixel coords (..., 2)."""
+        Ps = pc / jnp.linalg.norm(pc, axis=-1, keepdims=True)
+        denom = Ps[..., 2] + self.xi
+        m = Ps[..., :2] / denom[..., None]
+        md = self._distort(m)
+        return jnp.stack([self.gamma1 * md[..., 0] + self.u0,
+                          self.gamma2 * md[..., 1] + self.v0], axis=-1)
+
+    def lift(self, uv):
+        """Pixels → normalized image-plane coords (z=1): fixed-point
+        undistortion then the unit-sphere back-projection
+        (CataCamera.cc liftProjective lambda formula)."""
+        mx = (uv[..., 0] - self.u0) / self.gamma1
+        my = (uv[..., 1] - self.v0) / self.gamma2
+        md = jnp.stack([mx, my], axis=-1)
+
+        def body(_, pu):
+            return md - (self._distort(pu) - pu)
+
+        mu = jax.lax.fori_loop(0, UNDISTORT_ITERS, body, md)
+        rho2 = mu[..., 0] ** 2 + mu[..., 1] ** 2
+        lam = (self.xi + jnp.sqrt(1.0 + (1.0 - self.xi ** 2) * rho2)) / (1.0 + rho2)
+        z = lam - self.xi
+        return mu * (lam / z)[..., None]
+
+    def lift_to_ray(self, uv):
+        pn = self.lift(uv)
+        return jnp.concatenate([pn, jnp.ones(pn.shape[:-1] + (1,), pn.dtype)], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaramuzzaCamera:
+    """Scaramuzza omnidirectional (OCamCalib) model: forward polynomial
+    ``poly(theta)`` for projection (world→image radius), back polynomial
+    ``inv ray z = poly(rho)`` for lifting, with the 2×2 affine
+    [[c, d], [e, 1]] stretch — reference: ScaramuzzaCamera.cc
+    (spaceToPlane / liftProjective)."""
+    poly: tuple          # cam2world coefficients a0..aN (z = Σ ai ρ^i)
+    inv_poly: tuple      # world2cam coefficients b0..bM (ρ = Σ bi θ^i)
+    xc: float
+    yc: float
+    c: float = 1.0
+    d: float = 0.0
+    e: float = 0.0
+    width: int = 0
+    height: int = 0
+
+    def project(self, pc):
+        norm = jnp.sqrt(pc[..., 0] ** 2 + pc[..., 1] ** 2)
+        norm = jnp.maximum(norm, 1e-12)
+        theta = jnp.arctan2(-pc[..., 2], norm)
+        rho = jnp.zeros_like(theta)
+        for b in reversed(self.inv_poly):
+            rho = rho * theta + b
+        xn = pc[..., 0] / norm * rho
+        yn = pc[..., 1] / norm * rho
+        return jnp.stack([xn * self.c + yn * self.d + self.xc,
+                          xn * self.e + yn + self.yc], axis=-1)
+
+    def lift_to_ray(self, uv):
+        """Pixels → unit-norm ray (..., 3) via the forward polynomial."""
+        inv_scale = 1.0 / (self.c - self.d * self.e)
+        dx = uv[..., 0] - self.xc
+        dy = uv[..., 1] - self.yc
+        xn = inv_scale * (dx - self.d * dy)
+        yn = inv_scale * (-self.e * dx + self.c * dy)
+        rho = jnp.sqrt(xn * xn + yn * yn)
+        z = jnp.zeros_like(rho)
+        for a in reversed(self.poly):
+            z = z * rho + a
+        ray = jnp.stack([xn, yn, -z], axis=-1)
+        return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+    def lift(self, uv):
+        ray = self.lift_to_ray(uv)
+        return ray[..., :2] / ray[..., 2:3]
+
+
+def make_camera(model_type: str, **params):
+    """Factory by model name, mirroring CameraFactory::generateCamera
+    (reference: CameraFactory.cc:90 — KANNALA_BRANDT/MEI/PINHOLE/
+    SCARAMUZZA switch)."""
+    mt = model_type.upper()
+    if mt in ("PINHOLE",):
+        return PinholeCamera(**params)
+    if mt in ("KANNALA_BRANDT", "EQUIDISTANT", "FISHEYE"):
+        return EquidistantCamera(**params)
+    if mt in ("MEI", "CATA"):
+        return CataCamera(**params)
+    if mt in ("SCARAMUZZA", "OCAM"):
+        return ScaramuzzaCamera(**params)
+    raise ValueError(f"unknown camera model {model_type!r}")
+
+
+def camera_from_yaml(path: str):
+    """Build a camera from a camodocal-style OpenCV YAML file
+    (reference: CameraFactory::generateCameraFromYamlFile,
+    CameraFactory.cc:90; euroc_config.yaml schema).  Parses the cv
+    FileStorage dialect (leading ``%YAML:1.0`` directive) without OpenCV."""
+    import re
+    with open(path) as fh:
+        text = fh.read()
+    text = re.sub(r"^%YAML:[\d.]+\n", "", text)
+    text = text.replace("!!opencv-matrix", "")
+    import yaml
+    doc = yaml.safe_load(text)
+
+    mt = str(doc.get("model_type", "PINHOLE")).upper()
+    w = int(doc.get("image_width", 0))
+    h = int(doc.get("image_height", 0))
+    if mt == "PINHOLE":
+        d = doc.get("distortion_parameters", {})
+        p = doc.get("projection_parameters", {})
+        return PinholeCamera(fx=p["fx"], fy=p["fy"], cx=p["cx"], cy=p["cy"],
+                             k1=d.get("k1", 0.0), k2=d.get("k2", 0.0),
+                             p1=d.get("p1", 0.0), p2=d.get("p2", 0.0),
+                             width=w, height=h)
+    if mt == "KANNALA_BRANDT":
+        p = doc.get("projection_parameters", {})
+        return EquidistantCamera(fx=p["mu"], fy=p["mv"], cx=p["u0"], cy=p["v0"],
+                                 k2=p.get("k2", 0.0), k3=p.get("k3", 0.0),
+                                 k4=p.get("k4", 0.0), k5=p.get("k5", 0.0),
+                                 width=w, height=h)
+    if mt == "MEI":
+        mp = doc.get("mirror_parameters", {})
+        d = doc.get("distortion_parameters", {})
+        p = doc.get("projection_parameters", {})
+        return CataCamera(xi=mp["xi"], gamma1=p["gamma1"], gamma2=p["gamma2"],
+                          u0=p["u0"], v0=p["v0"],
+                          k1=d.get("k1", 0.0), k2=d.get("k2", 0.0),
+                          p1=d.get("p1", 0.0), p2=d.get("p2", 0.0),
+                          width=w, height=h)
+    if mt == "SCARAMUZZA":
+        pp = doc.get("poly_parameters", {})
+        ip = doc.get("inv_poly_parameters", {})
+        ap = doc.get("affine_parameters", {})
+        poly = tuple(pp[f"p{i}"] for i in range(len(pp)))
+        inv_poly = tuple(ip[f"p{i}"] for i in range(len(ip)))
+        return ScaramuzzaCamera(poly=poly, inv_poly=inv_poly,
+                                xc=ap["ac"] if "ac" in ap else ap["xc"],
+                                yc=ap.get("yc", 0.0), c=ap.get("c", 1.0),
+                                d=ap.get("d", 0.0), e=ap.get("e", 0.0),
+                                width=w, height=h)
+    raise ValueError(f"unknown model_type {mt!r} in {path}")
 
 
 @dataclasses.dataclass(frozen=True)
