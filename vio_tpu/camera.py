@@ -7,6 +7,13 @@ CataCamera.cc,ScaramuzzaCamera.cc}, factory at CameraFactory.cc:90).
 Unprojection (``liftProjective``) uses fixed-iteration inverse distortion
 (reference: PinholeCamera.cc:485-512 recursive inverse) so everything is
 jit/vmap-safe with static shapes.
+
+Ray conventions: ``lift`` always returns z=1-plane coords (..., 2), valid
+for rays within 90° of the optical axis (wide-FOV models clamp beyond
+that).  ``lift_to_ray`` returns (..., 3): a z=1 homogeneous ray for the
+narrow-FOV models (pinhole, equidistant — what the VIO factor stack
+consumes) and a UNIT ray for the full-FOV models (MEI, Scaramuzza), whose
+field of view can exceed the z>0 hemisphere.
 """
 from __future__ import annotations
 
@@ -118,12 +125,31 @@ class CataCamera:
         mu = jax.lax.fori_loop(0, UNDISTORT_ITERS, body, md)
         rho2 = mu[..., 0] ** 2 + mu[..., 1] ** 2
         lam = (self.xi + jnp.sqrt(1.0 + (1.0 - self.xi ** 2) * rho2)) / (1.0 + rho2)
-        z = lam - self.xi
+        # z = lam - xi hits 0 at exactly 90° viewing angle (routine for
+        # xi >= 1 mirrors with >180° FOV); clamp so edge pixels map to a
+        # far-but-finite z=1-plane point instead of inf / flipped sign.
+        # Full-FOV consumers should use lift_to_ray.
+        z = jnp.maximum(lam - self.xi, 1e-6)
         return mu * (lam / z)[..., None]
 
     def lift_to_ray(self, uv):
-        pn = self.lift(uv)
-        return jnp.concatenate([pn, jnp.ones(pn.shape[:-1] + (1,), pn.dtype)], axis=-1)
+        """Full 3D unit-sphere back-projection (x, y, z) — valid across the
+        whole mirror FOV, unlike lift() which forces the z=1 plane (the
+        reference's liftProjective keeps the 3D ray the same way,
+        CataCamera.cc liftProjective)."""
+        mx = (uv[..., 0] - self.u0) / self.gamma1
+        my = (uv[..., 1] - self.v0) / self.gamma2
+        md = jnp.stack([mx, my], axis=-1)
+
+        def body(_, pu):
+            return md - (self._distort(pu) - pu)
+
+        mu = jax.lax.fori_loop(0, UNDISTORT_ITERS, body, md)
+        rho2 = mu[..., 0] ** 2 + mu[..., 1] ** 2
+        lam = (self.xi + jnp.sqrt(1.0 + (1.0 - self.xi ** 2) * rho2)) / (1.0 + rho2)
+        ray = jnp.concatenate([mu * lam[..., None],
+                               (lam - self.xi)[..., None]], axis=-1)
+        return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,7 +182,17 @@ class ScaramuzzaCamera:
                           xn * self.e + yn + self.yc], axis=-1)
 
     def lift_to_ray(self, uv):
-        """Pixels → unit-norm ray (..., 3) via the forward polynomial."""
+        """Pixels → unit-norm ray (..., 3) via the forward polynomial.
+
+        Convention notes: unlike the pinhole/MEI/equidistant models (whose
+        ``lift_to_ray`` returns z=1 homogeneous rays), this returns a UNIT
+        ray, because omnidirectional FOVs routinely exceed 90° where a z=1
+        plane does not exist.  Intentional deviation from the reference
+        (OCAMCamera::liftProjective builds the ray x/y from the RAW centered
+        coords, using the affine-inverted coords only for rho); we apply the
+        affine inverse to the ray x/y as well, which is the mathematically
+        consistent inversion of spaceToPlane — identical when the affine
+        part is the identity (the common calibration)."""
         inv_scale = 1.0 / (self.c - self.d * self.e)
         dx = uv[..., 0] - self.xc
         dy = uv[..., 1] - self.yc
@@ -170,8 +206,13 @@ class ScaramuzzaCamera:
         return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
 
     def lift(self, uv):
+        """z=1-plane coords; only meaningful for pixels viewing < 90° off
+        axis (ray z > 0).  Edge pixels beyond that are clamped to a far
+        near-plane direction instead of flipping sign — use lift_to_ray for
+        full-FOV geometry."""
         ray = self.lift_to_ray(uv)
-        return ray[..., :2] / ray[..., 2:3]
+        z = jnp.maximum(ray[..., 2:3], 1e-6)
+        return ray[..., :2] / z
 
 
 def make_camera(model_type: str, **params):
@@ -234,10 +275,14 @@ def camera_from_yaml(path: str):
         ap = doc.get("affine_parameters", {})
         poly = tuple(pp[f"p{i}"] for i in range(len(pp)))
         inv_poly = tuple(ip[f"p{i}"] for i in range(len(ip)))
+        # camodocal key map (ScaramuzzaCamera.cc:98-103): ac→c, ad→d, ae→e,
+        # cx→xc (image center), cy→yc
         return ScaramuzzaCamera(poly=poly, inv_poly=inv_poly,
-                                xc=ap["ac"] if "ac" in ap else ap["xc"],
-                                yc=ap.get("yc", 0.0), c=ap.get("c", 1.0),
-                                d=ap.get("d", 0.0), e=ap.get("e", 0.0),
+                                xc=ap.get("cx", ap.get("xc", 0.0)),
+                                yc=ap.get("cy", ap.get("yc", 0.0)),
+                                c=ap.get("ac", ap.get("c", 1.0)),
+                                d=ap.get("ad", ap.get("d", 0.0)),
+                                e=ap.get("ae", ap.get("e", 0.0)),
                                 width=w, height=h)
     raise ValueError(f"unknown model_type {mt!r} in {path}")
 

@@ -142,6 +142,7 @@ class Estimator:
         self.last_R = np.eye(3)
         self.failure_count = 0
         self.frame_solved = 0
+        self.last_failure_diag: list[str] = []
 
     # ------------------------------------------------------------------
     # IMU path (processIMU, estimator.cpp:105-139)
@@ -294,7 +295,9 @@ class Estimator:
             if len(pa) < 20:
                 continue
             parallax = np.mean(np.linalg.norm(pa - pb, axis=1))
-            if parallax * 460.0 <= 30.0:
+            # 30 px of mean parallax at the configured focal
+            # (estimator.cpp:473-477 uses the FOCAL_LENGTH global)
+            if parallax * self.cfg.focal_length <= 30.0:
                 continue
             ok, R, t = sfm.solve_relative_rt(pa, pb, np.ones(len(pa), bool))
             if ok:
@@ -391,8 +394,7 @@ class Estimator:
         self._backend_optimization()
 
     def _pack_states(self) -> W.WindowStates:
-        Qs = np.stack([np.asarray(lie.mat_to_quat(jnp.asarray(R)))
-                       for R in self.Rs])
+        Qs = np.asarray(lie.mat_to_quat(jnp.asarray(self.Rs)))
         cands = self.fm.candidates()
         F = self.cfg.max_features
         inv_dep = np.ones(F)   # padded slots: 1.0, never 0 (1/0 → NaN Hessian)
@@ -522,6 +524,12 @@ class Estimator:
     # ------------------------------------------------------------------
 
     def _failure_detection(self) -> bool:
+        # diagnostics the reference computes but leaves non-fatal
+        # (estimator.cpp:647-651 little-feature, :679-688 big delta_angle —
+        # both `return true` lines are commented out there)
+        self.last_failure_diag = []
+        if self.fm.last_track_num < 2:
+            self.last_failure_diag.append("little_feature")
         if np.linalg.norm(self.Bas[self.W]) > 2.5:
             return True
         if np.linalg.norm(self.Bgs[self.W]) > 1.0:
@@ -531,6 +539,11 @@ class Estimator:
             return True
         if abs(dp[2]) > 1.0:
             return True
+        delta_R = self.Rs[self.W].T @ self.last_R
+        cos_half = np.clip(0.5 * np.sqrt(max(1.0 + np.trace(delta_R), 0.0)),
+                           -1.0, 1.0)
+        if np.degrees(2.0 * np.arccos(cos_half)) > 50.0:
+            self.last_failure_diag.append("big_delta_angle")
         return False
 
     # ------------------------------------------------------------------

@@ -26,12 +26,16 @@ class FeatureTracker:
 
     def __init__(self, camera, max_cnt: int = 150, min_dist: int = 30,
                  f_thresh_px: float = 1.0, focal: float = 460.0,
-                 fb_thresh: float = 0.5):
+                 fb_thresh: float = 0.5, seed: int = 0):
         self.cam = camera
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.f_thresh = f_thresh_px / focal
         self.fb_thresh = fb_thresh
+        # deterministic, frame-counted RANSAC stream (reruns on the same
+        # data are reproducible regardless of timestamp values)
+        self._rng_key = jax.random.PRNGKey(seed)
+        self.frame_idx = 0
         self.prev_img = None
         self.prev_t = None
         self.pos = np.zeros((max_cnt, 2))         # pixel positions
@@ -64,7 +68,7 @@ class FeatureTracker:
                 un1 = np.asarray(self.cam.lift(jnp.asarray(p1)))
                 E, inl, n_inl = sfm.essential_ransac(
                     jnp.asarray(un0), jnp.asarray(un1), jnp.asarray(ok),
-                    jax.random.PRNGKey(int(t * 1e6) & 0x7FFFFFFF),
+                    jax.random.fold_in(self._rng_key, self.frame_idx),
                     thresh=self.f_thresh)
                 if int(n_inl) >= 8:
                     ok &= np.asarray(inl)
@@ -107,4 +111,5 @@ class FeatureTracker:
         self.prev_img = img_d
         self.prev_t = t
         self.prev_un = un
+        self.frame_idx += 1
         return out

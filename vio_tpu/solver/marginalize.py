@@ -107,9 +107,10 @@ def marginalize_old(states: W.WindowStates, f: W.WindowFactors,
 
 
 @jax.jit
-def marginalize_new(f: W.WindowFactors, window_size: int = None):
+def marginalize_new(f: W.WindowFactors):
     """Marginalize frame W-1 out of the prior only (MargNewFrame,
-    estimator.cpp:830-901 — the problem there contains no edges)."""
+    estimator.cpp:830-901 — the problem there contains no edges).  The
+    window size is recovered from the prior's static shape."""
     P = f.H_prior.shape[0]
     W1 = (P - 6) // 15
     perm = _perm_drop_frame(P, W1 - 2)
