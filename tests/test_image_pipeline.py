@@ -1,0 +1,151 @@
+"""End-to-end image-frontend tests: CLAHE, drift-free tracking, and the
+full images→KLT→estimator pipeline (the run_euroc analog).
+
+Covers the reference's flagship path (reference:
+vins-mono/test/run_euroc.cpp:150-184, src/System.cpp:167-266,
+src/feature_tracker.cpp:81-305) against rendered simulator frames with
+exact ground truth (sim.render_image).
+"""
+import numpy as np
+import pytest
+
+from vio_tpu import metrics, runner, sim
+from vio_tpu.config import sim_images_config
+
+
+# Half-resolution sim keeps CPU cost down; identical geometry/trajectory,
+# camera scaled 2×: fx 230, 320² image.
+def half_res_data(noise=False, **kw):
+    return sim.generate(noise=noise, fx=230.0, fy=230.0, cx=159.5, cy=159.5,
+                        image_w=320.0, image_h=320.0, **kw)
+
+
+def half_res_cfg(**overrides):
+    base = dict(fx=230.0, fy=230.0, cx=159.5, cy=159.5,
+                focal_length=230.0, image_width=320, image_height=320,
+                min_dist=8)
+    base.update(overrides)
+    return sim_images_config(**base)
+
+
+RENDER = dict(height=320, width=320)
+
+
+def test_clahe_equalizes_dark_image():
+    from vio_tpu.features.clahe import clahe
+    rng = np.random.default_rng(0)
+    # dark, low-contrast image with faint structure
+    img = 10.0 + 8.0 * rng.random((64, 96)).astype(np.float32)
+    out = np.asarray(clahe(img, clip_limit=4.0))
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    # contrast must be stretched substantially (bounded by the clip limit:
+    # with clip 4 the max slope of the tile CDF is 4× uniform)
+    assert (out.max() - out.min()) > 3.0 * (img.max() - img.min())
+    # monotonic-ish: ordering of clearly-separated intensities is preserved
+    lo = img < np.percentile(img, 20)
+    hi = img > np.percentile(img, 80)
+    assert out[hi].mean() > out[lo].mean()
+
+
+def test_clahe_constant_image_stays_flat():
+    from vio_tpu.features.clahe import clahe
+    img = np.full((64, 64), 37.0, np.float32)
+    out = np.asarray(clahe(img))
+    assert float(out.std()) < 1e-3
+
+
+def test_tracker_is_drift_free_on_rendered_frames():
+    """Birth-template refinement keeps long-track drift at the centipixel
+    level — the property window-BA accuracy depends on."""
+    data = half_res_data()
+    trk = runner.make_tracker(half_res_cfg())
+    assoc = {}
+    drifts_at_end = []
+    K = 12
+    for k in range(K):
+        img = sim.render_image(data, k, **RENDER)
+        trk.read_image(img, float(data.cam_t[k]))
+        vis = np.where(data.obs_valid[k])[0]
+        uv = data.obs_uv[k][vis]
+        for slot in np.where(trk.valid)[0]:
+            fid = int(trk.ids[slot])
+            p = trk.pos[slot]
+            if fid not in assoc:
+                d = np.linalg.norm(uv - p, axis=1)
+                j = int(d.argmin())
+                if d[j] < 3.0:
+                    assoc[fid] = (vis[j], p - uv[j])
+                continue
+            if k == K - 1:
+                lid, off0 = assoc[fid]
+                if data.obs_valid[k][lid]:
+                    drifts_at_end.append(
+                        np.linalg.norm(p - data.obs_uv[k][lid] - off0))
+    drifts = np.array(drifts_at_end)
+    assert len(drifts) >= 25
+    assert np.percentile(drifts, 90) < 0.3, drifts
+
+
+@pytest.mark.slow
+def test_images_to_estimator_end_to_end():
+    """≥150 rendered frames through the REAL tracker (no bypass) into the
+    estimator: APE must beat 0.1 m (reference noise-free baseline 0.0409 m
+    uses exact landmarks; VERDICT round-2 gate is <0.1 m for the image
+    path)."""
+    data = half_res_data()
+    cfg = half_res_cfg()
+    est, traj = runner.run_images(
+        runner.sim_image_frames(data, n_frames=155, **RENDER),
+        data.imu_t, data.acc, data.gyr, cfg)
+    assert est.initialized
+    assert est.failure_count == 0
+    gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
+    ape = metrics.ape_rmse(traj["p"], gt_p)
+    assert ape["rmse"] < 0.1, ape
+
+
+def test_euroc_layout_roundtrip(tmp_path):
+    """write_euroc → load_euroc preserves streams; run_euroc drives the
+    first frames without error."""
+    from vio_tpu import io as vio_io
+    data = half_res_data()
+    out = str(tmp_path / "seq")
+    vio_io.write_euroc(data, out, n_frames=12,
+                       render_kw=RENDER)
+    back = vio_io.load_euroc(out)
+    np.testing.assert_allclose(back.imu_t, data.imu_t, atol=1e-8)
+    np.testing.assert_allclose(back.acc, data.acc, atol=1e-12)
+    np.testing.assert_allclose(back.cam_t, data.cam_t[:12], atol=1e-8)
+    assert back.gt_t is not None
+    img = vio_io.load_image(back.cam_files[0])
+    assert img.shape == (320, 320)
+    np.testing.assert_allclose(img, sim.render_image(data, 0, **RENDER),
+                               atol=1e-4)
+
+    cfg = half_res_cfg()
+    est, traj = runner.run_images(
+        ((t, (lambda f=f: vio_io.load_image(f)))
+         for t, f in zip(back.cam_t, back.cam_files)),
+        back.imu_t, back.acc, back.gyr, cfg)
+    # 12 frames: not enough to initialize, but the whole path must run
+    assert len(traj["initialized"]) == 9   # 12 - 2 primer - 1 unpublished
+
+
+def test_image_stream_discontinuity_resets_freq_control():
+    """A >1 s camera gap must trip the reset branch (System.cpp:93-100)
+    and the run must continue without raising."""
+    data = half_res_data()
+    cfg = half_res_cfg()
+
+    def frames():
+        for k in range(8):
+            yield float(data.cam_t[k]), sim.render_image(data, k, **RENDER)
+        # 2-second hole, then resume
+        for k in range(70, 76):
+            yield float(data.cam_t[k]), sim.render_image(data, k, **RENDER)
+
+    est, traj = runner.run_images(frames(), data.imu_t, data.acc, data.gyr,
+                                  cfg)
+    assert len(traj["initialized"]) >= 1

@@ -38,13 +38,41 @@ def cmd_run(args):
             failures=est.failure_count, wall_s=round(wall, 1),
             fps=round(est.frame_solved / max(wall, 1e-9), 2), ape=ape)))
     elif args.dataset == "euroc":
-        from . import io as vio_io
-        data = vio_io.load_euroc(args.path)
-        print("EuRoC playback requires the image frontend "
-              "(vio_tpu.features); sequence loaded:",
-              len(data.cam_t), "frames,", len(data.imu_t), "imu samples",
-              file=sys.stderr)
-        raise SystemExit(2)
+        cfg = euroc_config()
+        t0 = time.time()
+        est, traj, data = runner.run_euroc(args.path, cfg,
+                                           n_frames=args.frames,
+                                           progress=args.verbose)
+        wall = time.time() - t0
+        if args.out:
+            metrics.write_tum(args.out, traj["t"], traj["p"], traj["R"])
+        result = dict(dataset="euroc", path=args.path, frames=len(traj["t"]),
+                      failures=est.failure_count, wall_s=round(wall, 1),
+                      fps=round(est.frame_solved / max(wall, 1e-9), 2))
+        if data.gt_t is not None and len(traj["t"]) > 0:
+            # associate by nearest GT timestamp (evo's default pairing)
+            idx = np.clip(np.searchsorted(data.gt_t, traj["t"]), 0,
+                          len(data.gt_t) - 1)
+            result["ape"] = metrics.ape_rmse(traj["p"], data.gt_p[idx])
+        print(json.dumps(result))
+    elif args.dataset == "sim-images":
+        # the full image pipeline against rendered simulator frames
+        from .config import sim_images_config
+        data = sim.generate(noise=args.noise, pixel_noise=args.pixel_noise)
+        cfg = sim_images_config()
+        t0 = time.time()
+        est, traj = runner.run_images(
+            runner.sim_image_frames(data, n_frames=args.frames),
+            data.imu_t, data.acc, data.gyr, cfg, progress=args.verbose)
+        wall = time.time() - t0
+        gt_p, gt_R = runner.sim_ground_truth_at(data, traj["t"])
+        ape = metrics.ape_rmse(traj["p"], gt_p)
+        if args.out:
+            metrics.write_tum(args.out, traj["t"], traj["p"], traj["R"])
+        print(json.dumps(dict(
+            dataset="sim-images", frames=len(traj["t"]),
+            failures=est.failure_count, wall_s=round(wall, 1),
+            fps=round(est.frame_solved / max(wall, 1e-9), 2), ape=ape)))
     else:
         raise SystemExit(f"unknown dataset {args.dataset}")
 
@@ -68,7 +96,8 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("run", help="run VIO on a dataset")
-    p.add_argument("--dataset", default="sim", choices=["sim", "euroc"])
+    p.add_argument("--dataset", default="sim",
+                   choices=["sim", "sim-images", "euroc"])
     p.add_argument("--path", default=None, help="EuRoC sequence dir")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--noise", action="store_true")

@@ -52,6 +52,14 @@ class VioConfig:
     max_num_iterations: int = 10     # reference hardcodes Solve(10) (estimator.cpp:1037)
     init_depth: float = 5.0          # reference: parameters.cpp INIT_DEPTH
     td: float = 0.0
+    outlier_reproj_px: float = 3.0   # post-solve feature rejection gate
+                                     # (full VINS-Mono removeOutlier); 0 = off
+    prior_forgetting: float = 1.0    # per-frame information decay on the
+                                     # marginalization prior (covariance
+                                     # inflation); 1.0 = reference behavior.
+                                     # <1 lets slow systematics (e.g. init
+                                     # scale residue) wash out instead of
+                                     # being locked in by the prior
 
     # --- frontend ---
     max_cnt: int = 150
@@ -89,6 +97,27 @@ def sim_config(**overrides) -> VioConfig:
     """Config matching the reference VIO simulation
     (reference: config/vio_simulation.yaml + simulator/include/param.h)."""
     return VioConfig(**overrides)
+
+
+def sim_images_config(**overrides) -> VioConfig:
+    """Config for the RENDERED-image sim pipeline (images → CLAHE/KLT →
+    estimator), tuned for the synthetic blob scenes:
+
+    - equalize off (CLAHE manufactures gradients on near-flat renders),
+    - min_dist 15 px (blob spacing; 30 px suppresses half the scene),
+    - matched IMU noise priors for the noise-free IMU stream (the
+      reference's vio_simulation.yaml priors are its NOISY-run values —
+      with sub-pixel visual systematics and such weak IMU weights the
+      solver lets velocity/bias wander and the scale collapses ~30 %),
+    - 1 px post-solve reprojection outlier gate,
+    - prior forgetting 0.95 so the marginalization prior cannot lock in
+      the small init-scale residue.
+    """
+    base = dict(equalize=False, min_dist=15,
+                acc_n=0.05, gyr_n=0.01,
+                outlier_reproj_px=1.0, prior_forgetting=0.95)
+    base.update(overrides)
+    return VioConfig(**base)
 
 
 def euroc_config(**overrides) -> VioConfig:

@@ -24,6 +24,7 @@ from . import factors, imu
 from .config import VioConfig
 from .feature_manager import FeatureManager, INIT_DEPTH
 from .init import alignment, sfm
+from .init.ex_rotation import ExtrinsicRotationCalibrator
 from .solver import lm, marginalize, window as W
 from .utils import lie
 
@@ -57,6 +58,33 @@ class IntervalBuffer:
         self.dts += other.dts
         self.accs += other.accs
         self.gyrs += other.gyrs
+
+    def delta_R(self, bg) -> np.ndarray:
+        """Host-side midpoint gyro integration → relative rotation matrix
+        (the pre_integrations[k]->delta_q the extrinsic calibrator consumes,
+        estimator.cpp:168).  Tiny (~7 samples), so plain numpy."""
+        q = np.array([0.0, 0.0, 0.0, 1.0])
+        gyr_prev = self.gyr0
+        for dt, gyr in zip(self.dts, self.gyrs):
+            w = 0.5 * (gyr_prev + gyr) - bg
+            half = 0.5 * w * dt
+            dq = np.concatenate([half, [1.0]])
+            x1, y1, z1, w1 = q
+            x2, y2, z2, w2 = dq
+            q = np.array([
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            ])
+            q /= np.linalg.norm(q)
+            gyr_prev = gyr
+        x, y, z, w_ = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w_ * z), 2 * (x * z + w_ * y)],
+            [2 * (x * y + w_ * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w_ * x)],
+            [2 * (x * z - w_ * y), 2 * (y * z + w_ * x), 1 - 2 * (x * x + y * y)],
+        ])
 
     def __len__(self):
         return len(self.dts)
@@ -143,6 +171,11 @@ class Estimator:
         self.failure_count = 0
         self.frame_solved = 0
         self.last_failure_diag: list[str] = []
+        # online extrinsic calibration state (estimator.cpp:161-184):
+        # 2 = calibrate rotation online, 1 = optimize in BA, 0 = fixed
+        self.estimate_extrinsic = self.cfg.estimate_extrinsic
+        self.ex_calibrator = ExtrinsicRotationCalibrator(self.W)
+        self.initial_timestamp = 0.0
 
     # ------------------------------------------------------------------
     # IMU path (processIMU, estimator.cpp:105-139)
@@ -194,9 +227,33 @@ class Estimator:
         self.all_frames.append(rec)
         self.tmp_buf = IntervalBuffer(self.acc_0, self.gyr_0)
 
+        # online extrinsic rotation calibration (estimator.cpp:161-184):
+        # hand-eye pairs (camera relative R from 2-view geometry, body
+        # relative R from gyro preintegration) until the calibrator accepts,
+        # then downgrade to "optimize in BA" mode.
+        if self.estimate_extrinsic == 2 and self.frame_count != 0:
+            pa, pb = self.fm.get_corresponding(self.frame_count - 1,
+                                               self.frame_count)
+            buf = self.bufs[self.frame_count]
+            if len(pa) >= 9 and buf is not None and len(buf) > 0:
+                R_cam = sfm.relative_rotation(pa, pb)
+                if R_cam is not None:
+                    R_imu = buf.delta_R(self.Bgs[self.frame_count])
+                    self.ex_calibrator.add_pair(R_cam, R_imu)
+                    ok, ric = self.ex_calibrator.solve()
+                    if ok:
+                        self.ric = np.asarray(ric)
+                        self.estimate_extrinsic = 1
+
         if self.solver_flag == SOLVER_INITIAL:
             if self.frame_count == self.W:
-                if self._initial_structure():
+                # wait for extrinsic calibration; retry init at most every
+                # 0.1 s (estimator.cpp:185-192)
+                attempt = (self.estimate_extrinsic != 2
+                           and (t - self.initial_timestamp) > 0.1)
+                if attempt:
+                    self.initial_timestamp = t
+                if attempt and self._initial_structure():
                     self.solver_flag = SOLVER_NON_LINEAR
                     self._solve_odometry()
                     self._slide_window()
@@ -304,16 +361,40 @@ class Estimator:
                 return i, R, t
         return None
 
-    def _frame_preints(self, bg):
-        """Batched preintegration of all consecutive all_frames pairs at
-        gyro bias bg (zero acc bias).  The frame axis is padded to a static
+    def _frame_preints(self, bg, stride: int = 1):
+        """Batched preintegration of all_frames interval pairs at gyro bias
+        bg (zero acc bias).  With stride > 1, consecutive raw intervals are
+        MERGED into longer spans between frames [0, stride, 2·stride, …,
+        last] — longer Δt makes the gravity/scale alignment observable
+        (the g column scales with ½Δt² while visual noise does not; see
+        _visual_initial_align).  The frame axis is padded to a static
         capacity (multiples of 32) so compile count stays bounded while
         all_frames grows pre-init; padded intervals are fully masked and
-        sliced away from the result."""
-        M = self.cfg.max_imu_per_interval
-        n = len(self.all_frames) - 1
+        sliced away from the result.  Returns (states, idx) where idx are
+        the all_frames indices the pairs connect."""
+        if stride <= 1:
+            idx = list(range(len(self.all_frames)))
+            bufs = [r.buf for r in self.all_frames[1:]]
+        else:
+            idx = list(range(0, len(self.all_frames), stride))
+            if idx[-1] != len(self.all_frames) - 1:
+                idx.append(len(self.all_frames) - 1)
+            bufs = []
+            for a, b in zip(idx[:-1], idx[1:]):
+                first = self.all_frames[a + 1].buf
+                mb = IntervalBuffer(
+                    first.acc0 if first is not None else np.zeros(3),
+                    first.gyr0 if first is not None else np.zeros(3))
+                for j in range(a + 1, b + 1):
+                    if self.all_frames[j].buf is not None:
+                        mb.merge_from(self.all_frames[j].buf)
+                bufs.append(mb)
+        n = len(bufs)
+        longest = max((len(b) for b in bufs if b is not None), default=0)
+        M = max(self.cfg.max_imu_per_interval,
+                ((longest + 31) // 32) * 32)
         cap = max(32, ((n + 31) // 32) * 32)
-        packs = [_pad_buffer(r.buf, M) for r in self.all_frames[1:]]
+        packs = [_pad_buffer(b, M) for b in bufs]
         packs += [_pad_buffer(None, M)] * (cap - n)
         dts = jnp.asarray(np.stack([p[0] for p in packs]))
         accs = jnp.asarray(np.stack([p[1] for p in packs]))
@@ -325,7 +406,7 @@ class Estimator:
         bgs = jnp.broadcast_to(jnp.asarray(bg), (cap, 3))
         st = imu.preintegrate_batch(dts, accs, gyrs, mask, acc0, gyr0,
                                     z, bgs, jnp.asarray(self.noise_diag))
-        return jax.tree.map(lambda a: a[:n], st)
+        return jax.tree.map(lambda a: a[:n], st), idx
 
     def _visual_initial_align(self) -> bool:
         """(visualInitialAlign, estimator.cpp:384-455 +
@@ -334,23 +415,37 @@ class Estimator:
         T_all = np.stack([r.T for r in self.all_frames])
 
         # 1) gyro bias from rotation-only constraints
-        st = self._frame_preints(np.zeros(3))
+        st, _ = self._frame_preints(np.zeros(3))
         delta_q = np.asarray(st.delta_q)
         dq_dbg = np.asarray(st.jacobian)[:, 3:6, 12:15]
         dbg = np.asarray(alignment.solve_gyroscope_bias(R_all, delta_q, dq_dbg))
         for i in range(self.W1):
             self.Bgs[i] = dbg
         # repropagate at the solved bias
-        st = self._frame_preints(dbg)
-
-        # 2) linear alignment: velocities + gravity + scale
+        st, _ = self._frame_preints(dbg)
         delta_p = np.asarray(st.delta_p)
         delta_v = np.asarray(st.delta_v)
         dts = np.asarray(st.sum_dt)
-        ok, x, g_c0, s = alignment.linear_alignment(
-            R_all, T_all, delta_p, delta_v, dts, self.tic, self.cfg.g_norm)
+
+        # 2) gravity + scale on STRIDE-MERGED pairs.  Over consecutive
+        # 30 Hz pairs the (g, s, v) system is near-degenerate: the gravity
+        # column enters as ½Δt² (~5e-4 at Δt=1/30) so sub-pixel visual
+        # noise swings the solution 30 %+ along the weak direction while
+        # ‖g‖ still lands inside the reference's ±1.0 acceptance band.
+        # Merging intervals to Δt≈0.15 s boosts the gravity signal ~25×
+        # against the same visual noise.  Velocities are recovered in
+        # closed form afterwards (alignment.recover_velocities).
+        n_pairs = len(self.all_frames) - 1
+        stride = max(1, min(4, n_pairs // 8))
+        st_m, idx = self._frame_preints(dbg, stride=stride)
+        ok, _x, g_c0, s = alignment.linear_alignment(
+            R_all[idx], T_all[idx], np.asarray(st_m.delta_p),
+            np.asarray(st_m.delta_v), np.asarray(st_m.sum_dt),
+            self.tic, self.cfg.g_norm)
         if not ok:
             return False
+        x = alignment.recover_velocities(R_all, T_all, delta_p, delta_v,
+                                         dts, self.tic, g_c0, s).reshape(-1)
 
         # 3) window states from the SfM keyframe poses (visual scale)
         kf_idx = [i for i, r in enumerate(self.all_frames) if r.is_key_frame]
@@ -409,7 +504,15 @@ class Estimator:
 
     def _pack_factors(self) -> W.WindowFactors:
         cfg = self.cfg
-        M = cfg.max_imu_per_interval
+        # adaptive IMU capacity: non-keyframe slides MERGE intervals, so a
+        # window interval can exceed the nominal capacity (e.g. ~0.4 s of
+        # 200 Hz IMU).  Truncating would silently shorten delta_p for that
+        # factor and bias the solved scale; instead round the needed
+        # capacity up to a multiple of 32 (at most a handful of XLA
+        # recompiles over a run).
+        longest = max((len(b) for b in self.bufs[1:self.W1] if b is not None),
+                      default=0)
+        M = max(cfg.max_imu_per_interval, ((longest + 31) // 32) * 32)
         F = cfg.max_features
         W1 = self.W1
 
@@ -475,10 +578,24 @@ class Estimator:
         f = self._pack_factors()
         new_states, b_prior, err_prior, stats = lm.solve_window(
             states, f, max_iter=self.cfg.max_num_iterations,
-            fix_ext=self.cfg.estimate_extrinsic == 0)
+            fix_ext=self.estimate_extrinsic == 0)
         self.b_prior = np.asarray(b_prior)
         self.err_prior = np.asarray(err_prior)
         self._unpack_states(new_states)
+
+        # post-solve reprojection outlier rejection (the full VINS-Mono's
+        # removeOutlier): features whose mean residual at the solution
+        # exceeds the pixel gate are flagged and dropped by
+        # remove_failures() after the slide — their constant measurement
+        # offsets are inconsistent with any rigid point and bias the scale.
+        if self.cfg.outlier_reproj_px > 0:
+            errs = np.asarray(W.feature_reproj_errors(new_states, f))
+            gate = self.cfg.outlier_reproj_px / self.cfg.focal_length
+            cands = self.fm.candidates()[:self.cfg.max_features]
+            for i, ft in enumerate(cands):
+                if errs[i] > gate:
+                    ft.solve_flag = 2
+
         f = f._replace(b_prior=jnp.asarray(self.b_prior),
                        err_prior=jnp.asarray(self.err_prior))
 
@@ -492,6 +609,15 @@ class Estimator:
         self.b_prior = np.asarray(bp)
         self.err_prior = np.asarray(errp)
         self.Jt_prior_inv = np.asarray(Jtp)
+        lam = self.cfg.prior_forgetting
+        if lam < 1.0:
+            # exponential information decay (covariance inflation): scale
+            # the prior's sqrt-Jacobian by √λ so H → λH, b → λb, err → √λ·err
+            rl = np.sqrt(lam)
+            self.H_prior = self.H_prior * lam
+            self.b_prior = self.b_prior * lam
+            self.err_prior = self.err_prior * rl
+            self.Jt_prior_inv = self.Jt_prior_inv / rl
         self.frame_solved += 1
 
     def _unpack_states(self, s: W.WindowStates):
@@ -514,6 +640,11 @@ class Estimator:
             self.Vs[i] = rot_diff @ np.asarray(s.Vs)[i]
         self.Bas = np.asarray(s.Bas).copy()
         self.Bgs = np.asarray(s.Bgs).copy()
+        if self.estimate_extrinsic != 0:
+            # write back the optimized camera-IMU extrinsic
+            # (double2vector, estimator.cpp:602-608)
+            self.ric = np.asarray(lie.quat_to_mat(s.ext_q))
+            self.tic = np.asarray(s.ext_t)
 
         inv_dep = np.asarray(s.inv_dep)
         cands = self.fm.candidates()[:self.cfg.max_features]

@@ -52,22 +52,56 @@ def detect(img, occupancy_mask=None, max_corners: int = 150,
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ok = (row >= border) & (row < H - border) & \
          (col >= border) & (col < W - border)
-    if occupancy_mask is not None:
-        ok &= ~occupancy_mask
+    resp_src = jnp.where(ok, resp, 0.0)
     resp = jnp.where(ok, resp, -jnp.inf)
 
     # NMS at the min-dist radius (replaces the sequential mask loop);
     # a surviving peak is the max of its (2·min_dist+1)² neighborhood,
-    # giving ≥ min_dist spacing like cv::goodFeaturesToTrack(minDistance)
+    # giving ≥ min_dist spacing like cv::goodFeaturesToTrack(minDistance).
+    # The occupancy mask is applied AFTER the peak test (as OpenCV masks
+    # candidates, not the response): masking the response first manufactures
+    # false peaks at mask boundaries — blob/corner skirts ~1 px off any
+    # real feature, which then poison the track with constant offsets.
     is_peak = resp >= _maxpool_same(resp, min_dist)
+    if occupancy_mask is not None:
+        is_peak &= ~occupancy_mask
     resp = jnp.where(is_peak, resp, -jnp.inf)
-    thresh = quality * jnp.max(resp)
+    # quality gate relative to the GLOBAL response max (OpenCV semantics:
+    # qualityLevel · maxVal over the whole image, not over survivors)
+    thresh = quality * jnp.max(resp_src)
 
     flat = resp.reshape(-1)
     score, idx = jax.lax.top_k(flat, max_corners)
-    yy = (idx // W).astype(img.dtype)
-    xx = (idx % W).astype(img.dtype)
+    yi = idx // W
+    xi = idx % W
     valid = score > jnp.maximum(thresh, 0.0)
+
+    # sub-pixel localization: 1-D quadratic fit through the response peak
+    # in x and y (cv::cornerSubPix analog, cheap gather form).  Detections
+    # at integer pixels otherwise carry a ~0.5 px constant offset per
+    # feature for the whole track.  Uses the PRE-NMS response (peak
+    # neighbors are -inf in the NMS'd map).
+    resp_f = resp_src
+
+    def sub(axis_idx, other_idx, along_x):
+        if along_x:
+            c0 = resp_f[other_idx, jnp.maximum(axis_idx - 1, 0)]
+            c1 = resp_f[other_idx, axis_idx]
+            c2 = resp_f[other_idx, jnp.minimum(axis_idx + 1, W - 1)]
+        else:
+            c0 = resp_f[jnp.maximum(axis_idx - 1, 0), other_idx]
+            c1 = resp_f[axis_idx, other_idx]
+            c2 = resp_f[jnp.minimum(axis_idx + 1, H - 1), other_idx]
+        denom = c0 - 2.0 * c1 + c2
+        off = jnp.where(jnp.abs(denom) > 1e-12,
+                        0.5 * (c0 - c2) / jnp.where(jnp.abs(denom) > 1e-12,
+                                                    denom, 1.0), 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = sub(xi, yi, True)
+    dy = sub(yi, xi, False)
+    xx = xi.astype(img.dtype) + dx
+    yy = yi.astype(img.dtype) + dy
     return jnp.stack([xx, yy], axis=-1), score, valid
 
 

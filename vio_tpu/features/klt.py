@@ -12,6 +12,16 @@ bilinear gather, the 2×2 normal systems are solved in closed form, and the
 per-level iteration is a `lax.fori_loop` — fixed shapes, one XLA program.
 The template Hessian is precomputed once per level (inverse-compositional),
 so each iteration costs one gather + two reductions per feature.
+
+Two tracking modes compose per frame:
+  1. frame-to-frame pyramidal tracking (``track`` / ``track_fb``) finds
+     each feature to within ~1 px — large motion basin, but its template
+     re-anchors every frame so alignment noise RANDOM-WALKS along a track;
+  2. birth-template refinement (``sample_templates`` +
+     ``refine_on_templates``) then registers the feature against its
+     appearance at FIRST observation with a small Gaussian-weighted window
+     at full resolution — drift-free sub-pixel measurements, the property
+     the BA accuracy actually depends on (SVO-style feature alignment).
 """
 from __future__ import annotations
 
@@ -24,54 +34,81 @@ from . import pyramid
 
 PATCH = 21          # cv::calcOpticalFlowPyrLK default window
 HALF = PATCH // 2
+REFINE_HALF = 5     # 11×11 refinement window: small footprint so nearby
+                    # features with different parallax cannot drag the fit
 
 
-def _patch_grid(dtype):
-    d = jnp.arange(-HALF, HALF + 1, dtype=dtype)
+def _patch_grid(dtype, half: int = HALF):
+    d = jnp.arange(-half, half + 1, dtype=dtype)
     dx, dy = jnp.meshgrid(d, d)
     return jnp.stack([dx, dy], axis=-1).reshape(-1, 2)    # (P², 2)
 
 
-def _sample_patches(img, centers):
+def _gauss_weights(dtype, half: int):
+    """Isotropic Gaussian window (P²,) with σ = half/1.5 — downweights the
+    patch rim where neighboring-feature contamination lives."""
+    g = _patch_grid(dtype, half)
+    s2 = (half / 1.5) ** 2
+    return jnp.exp(-0.5 * jnp.sum(g * g, axis=-1) / s2)
+
+
+def _sample_patches(img, centers, half: int = HALF):
     """(N, P²) bilinear patches around centers (N, 2)."""
-    grid = _patch_grid(img.dtype)
+    grid = _patch_grid(img.dtype, half)
     pts = centers[:, None, :] + grid[None, :, :]          # (N, P², 2)
     return pyramid.bilinear_sample(img, pts)
+
+
+def _zero_mean(P):
+    return P - jnp.mean(P, axis=1, keepdims=True)
+
+
+def _ic_iterate(img1, T, Gx, Gy, p1_init, n_iters: int, scale: float = 1.0,
+                half: int = HALF, weighted: bool = False):
+    """Run n_iters of zero-mean inverse-compositional LK against the given
+    template patches (N, P²) with gradients, starting from full-resolution
+    positions p1_init.  `scale` converts full-res coords to this pyramid
+    level (positions at the level are p / scale).  Returns (p1, good_H,
+    residual) — residual is the mean |zero-mean diff| at the solution."""
+    grid = _patch_grid(img1.dtype, half)
+    w = _gauss_weights(img1.dtype, half) if weighted else \
+        jnp.ones(grid.shape[0], img1.dtype)
+    T0 = _zero_mean(T)
+    H00 = jnp.sum(w * Gx * Gx, axis=1)
+    H01 = jnp.sum(w * Gx * Gy, axis=1)
+    H11 = jnp.sum(w * Gy * Gy, axis=1)
+    det = H00 * H11 - H01 * H01
+    good_H = det > 1e-6
+    inv_det = jnp.where(good_H, 1.0 / jnp.where(good_H, det, 1.0), 0.0)
+
+    def body(_, p1):
+        I = pyramid.bilinear_sample(
+            img1, p1[:, None, :] / scale + grid[None, :, :])
+        r = _zero_mean(I) - T0                             # (N, P²)
+        b0 = jnp.sum(w * Gx * r, axis=1)
+        b1 = jnp.sum(w * Gy * r, axis=1)
+        du = inv_det * (H11 * b0 - H01 * b1)
+        dv = inv_det * (-H01 * b0 + H00 * b1)
+        # inverse-compositional: template warp inverts onto the target
+        return p1 - scale * jnp.stack([du, dv], axis=-1)
+
+    p1 = jax.lax.fori_loop(0, n_iters, body, p1_init)
+    I = pyramid.bilinear_sample(img1, p1[:, None, :] / scale + grid[None, :, :])
+    res = jnp.mean(jnp.abs(_zero_mean(I) - T0), axis=1)
+    return p1, good_H, res
 
 
 def _track_level(img0, img1, p0, p1_init, n_iters: int, eps: float):
     """One pyramid level of inverse-compositional LK for all features.
 
     p0 (N,2): template positions in img0; p1_init: current guesses in img1.
-    Returns (p1, converged, residual)."""
-    grid = _patch_grid(img0.dtype)
+    All positions in THIS level's coordinates.  Returns (p1, converged,
+    residual)."""
     gx, gy = pyramid.central_gradients(img0)
-
     T = _sample_patches(img0, p0)                          # (N, P²)
     Gx = _sample_patches(gx, p0)
     Gy = _sample_patches(gy, p0)
-    # template normal matrix (N, 2, 2) — computed ONCE (inverse comp.)
-    H00 = jnp.sum(Gx * Gx, axis=1)
-    H01 = jnp.sum(Gx * Gy, axis=1)
-    H11 = jnp.sum(Gy * Gy, axis=1)
-    det = H00 * H11 - H01 * H01
-    good_H = det > 1e-6
-    inv_det = jnp.where(good_H, 1.0 / jnp.where(good_H, det, 1.0), 0.0)
-
-    def body(_, p1):
-        I = pyramid.bilinear_sample(img1, p1[:, None, :] + grid[None, :, :])
-        r = I - T                                          # (N, P²)
-        b0 = jnp.sum(Gx * r, axis=1)
-        b1 = jnp.sum(Gy * r, axis=1)
-        du = inv_det * (H11 * b0 - H01 * b1)
-        dv = inv_det * (-H01 * b0 + H00 * b1)
-        # inverse-compositional: template warp inverts onto the target
-        return p1 - jnp.stack([du, dv], axis=-1)
-
-    p1 = jax.lax.fori_loop(0, n_iters, body, p1_init)
-    I = pyramid.bilinear_sample(img1, p1[:, None, :] + grid[None, :, :])
-    res = jnp.mean(jnp.abs(I - T), axis=1)
-    return p1, good_H, res
+    return _ic_iterate(img1, T, Gx, Gy, p1_init, n_iters)
 
 
 @partial(jax.jit, static_argnames=("levels", "n_iters"))
@@ -96,6 +133,43 @@ def track(img0, img1, p0, valid, levels: int = 3, n_iters: int = 10,
     inb = (p1[:, 0] >= 1.0) & (p1[:, 0] < W - 1) & \
           (p1[:, 1] >= 1.0) & (p1[:, 1] < H - 1)
     ok = ok & inb & (res < max_residual)
+    return p1, ok, res
+
+
+@jax.jit
+def sample_templates(img, p0):
+    """Refinement template patches + gradients for every feature, anchored
+    at full-resolution positions p0 (N, 2).
+
+    Returns (T, Gx, Gy) each (N, P²) over the small REFINE window at full
+    resolution.  Captured ONCE at feature birth, these anchor drift-free
+    tracking: every subsequent frame is registered against the BIRTH
+    appearance, so per-frame alignment noise does not accumulate along the
+    track (unlike frame-to-frame KLT, whose template re-anchors on the
+    previous estimate each frame — a random walk of ~0.1 px/frame that
+    wrecks long-track BA accuracy)."""
+    gx, gy = pyramid.central_gradients(img)
+    T = _sample_patches(img, p0, REFINE_HALF)
+    Gx = _sample_patches(gx, p0, REFINE_HALF)
+    Gy = _sample_patches(gy, p0, REFINE_HALF)
+    return T, Gx, Gy
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def refine_on_templates(img1, T, Gx, Gy, p_init, valid, n_iters: int = 8,
+                        max_shift: float = 2.0, max_residual: float = 25.0):
+    """Refine positions against stored birth templates (see
+    sample_templates).  p_init comes from frame-to-frame tracking and is
+    expected within ~1 px, so a single full-resolution pass with the small
+    Gaussian-weighted window suffices.  Returns (p1, ok, residual); ok
+    requires convergence near p_init."""
+    p1, good_H, res = _ic_iterate(img1, T, Gx, Gy, p_init, n_iters,
+                                  scale=1.0, half=REFINE_HALF, weighted=True)
+    d = jnp.linalg.norm(p1 - p_init, axis=-1)
+    H, W = img1.shape
+    inb = (p1[:, 0] >= 1.0) & (p1[:, 0] < W - 1) & \
+          (p1[:, 1] >= 1.0) & (p1[:, 1] < H - 1)
+    ok = valid & good_H & inb & (d < max_shift) & (res < max_residual)
     return p1, ok, res
 
 

@@ -7,9 +7,10 @@ undistortion + per-feature normalized-plane velocity).
 
 Split of labor: the per-frame device program (pyramids, batched KLT,
 Shi-Tomasi + NMS detection) runs with STATIC capacity N (id bookkeeping
-masks); the tiny id/track-count bookkeeping lives on host.  CLAHE is
-approximated by a global contrast normalization on device (the reference
-applies cv::CLAHE only when the image is too dark/bright).
+masks); the tiny id/track-count bookkeeping lives on host.  When
+``equalize`` is on, frames pass through device-side CLAHE first
+(features/clahe.py), matching the reference's cv::CLAHE(3.0, 8×8) at
+feature_tracker.cpp:89-91.
 """
 from __future__ import annotations
 
@@ -17,6 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import clahe as clahe_mod
 from . import detect, klt
 from ..init import sfm
 
@@ -26,12 +28,26 @@ class FeatureTracker:
 
     def __init__(self, camera, max_cnt: int = 150, min_dist: int = 30,
                  f_thresh_px: float = 1.0, focal: float = 460.0,
-                 fb_thresh: float = 0.5, seed: int = 0):
+                 fb_thresh: float = 0.5, seed: int = 0,
+                 equalize: bool = False, clahe_clip: float = 3.0,
+                 levels: int = 3, reanchor_every: int = 25):
         self.cam = camera
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.f_thresh = f_thresh_px / focal
         self.fb_thresh = fb_thresh
+        self.equalize = equalize
+        self.clahe_clip = clahe_clip
+        self.levels = levels
+        # drift-free anchoring: per-feature birth templates (see
+        # klt.sample_templates); re-anchored every `reanchor_every` frames
+        # so real-scene appearance change stays within the basin
+        # (0 = never re-anchor)
+        self.reanchor_every = reanchor_every
+        npatch = (2 * klt.REFINE_HALF + 1) ** 2
+        self.tmpl_T = np.zeros((max_cnt, npatch), np.float32)
+        self.tmpl_Gx = np.zeros((max_cnt, npatch), np.float32)
+        self.tmpl_Gy = np.zeros((max_cnt, npatch), np.float32)
         # deterministic, frame-counted RANSAC stream (reruns on the same
         # data are reproducible regardless of timestamp values)
         self._rng_key = jax.random.PRNGKey(seed)
@@ -48,19 +64,51 @@ class FeatureTracker:
     def valid(self):
         return self.ids >= 0
 
+    def _enforce_min_dist(self):
+        """Mutual min-distance exclusion between live tracks: when two come
+        within min_dist, the longer track survives (the reference's setMask
+        walk in descending track_cnt order, feature_tracker.cpp:36-79 —
+        tracks landing inside an earlier track's masked disk are dropped).
+        Prevents two merging image features from feeding duplicate /
+        captured measurements into the BA."""
+        live = np.where(self.valid)[0]
+        if len(live) < 2:
+            return
+        order = live[np.argsort(-self.track_cnt[live], kind="stable")]
+        kept_pos = []
+        md2 = float(self.min_dist) ** 2
+        for slot in order:
+            p = self.pos[slot]
+            if kept_pos and np.min(np.sum((np.asarray(kept_pos) - p) ** 2,
+                                          axis=1)) < md2:
+                self.ids[slot] = -1
+                self.track_cnt[slot] = 0
+            else:
+                kept_pos.append(p)
+
     def read_image(self, img: np.ndarray, t: float):
         """Process one frame.  Returns {feature_id: (bearing(3,), uv(2,),
         vel(2,))} for features with track_cnt > 1 (the reference only
         publishes re-observed features, System.cpp:228-266)."""
         img_d = jnp.asarray(img, jnp.float32)
+        if self.equalize:
+            img_d = clahe_mod.clahe(img_d, clip_limit=self.clahe_clip)
         valid = jnp.asarray(self.valid)
 
         if self.prev_img is not None and bool(np.any(self.valid)):
             p1, ok, _ = klt.track_fb(self.prev_img, img_d,
                                      jnp.asarray(self.pos), valid,
+                                     levels=self.levels,
                                      fb_thresh=self.fb_thresh)
-            p1 = np.asarray(p1)
-            ok = np.asarray(ok) & self.valid
+            # drift-free refinement against the birth templates: the
+            # frame-to-frame estimate only seeds the search.  A track whose
+            # refinement fails is KILLED, not left to drift on the
+            # frame-to-frame estimate (SVO-style alignment gate).
+            p_ref, ok_ref, _ = klt.refine_on_templates(
+                img_d, jnp.asarray(self.tmpl_T), jnp.asarray(self.tmpl_Gx),
+                jnp.asarray(self.tmpl_Gy), p1, ok)
+            p1 = np.asarray(p_ref)
+            ok = np.asarray(ok) & np.asarray(ok_ref) & self.valid
             # RANSAC-F outlier rejection on normalized coords
             # (rejectWithF, feature_tracker.cpp:169-202)
             if ok.sum() >= 15:
@@ -75,10 +123,12 @@ class FeatureTracker:
             self.pos = np.where(ok[:, None], p1, self.pos)
             self.ids = np.where(ok, self.ids, -1)
             self.track_cnt = np.where(ok, self.track_cnt + 1, 0)
+            self._enforce_min_dist()
 
         # replenish with new detections away from current tracks
         n_live = int(self.valid.sum())
         n_new = self.max_cnt - n_live
+        new_slots = []
         if n_new > 0:
             occ = detect.occupancy_from_points(
                 img.shape, jnp.asarray(self.pos), jnp.asarray(self.valid),
@@ -95,6 +145,20 @@ class FeatureTracker:
                 self.ids[slot] = self.next_id
                 self.track_cnt[slot] = 1
                 self.next_id += 1
+                new_slots.append(slot)
+
+        # capture / refresh birth templates (new features always;
+        # established ones on the re-anchor cadence)
+        upd = np.zeros(self.max_cnt, bool)
+        upd[new_slots] = True
+        if self.reanchor_every > 0:
+            upd |= self.valid & (self.track_cnt > 1) & \
+                   (self.track_cnt % self.reanchor_every == 0)
+        if upd.any():
+            T, Gx, Gy = klt.sample_templates(img_d, jnp.asarray(self.pos))
+            self.tmpl_T[upd] = np.asarray(T)[upd]
+            self.tmpl_Gx[upd] = np.asarray(Gx)[upd]
+            self.tmpl_Gy[upd] = np.asarray(Gy)[upd]
 
         # undistort + velocities (undistortedPoints,
         # feature_tracker.cpp:258-305)

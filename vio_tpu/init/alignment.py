@@ -77,10 +77,15 @@ def _pair_blocks(R, T, delta_p, delta_v, dts, tic):
     return A, b
 
 
-def _solve_overlapped(A6, b6, n_frames, n_tail):
+def _solve_overlapped(A6, b6, n_frames, n_tail, return_var=False):
     """Assemble the pair blocks into the global banded normal system and
     solve (the A += r_A pattern of initial_aligment.cpp:162-188).
-    State: [v_0..v_n (3 each) | tail (n_tail)]."""
+    State: [v_0..v_n (3 each) | tail (n_tail)].
+
+    With return_var, also returns the marginal variance of the LAST state
+    entry (the scale), estimated as sigma² · (Aᵀ A)⁻¹[-1, -1] with sigma²
+    from the post-fit residuals — the statistic the init acceptance gate
+    needs (see linear_alignment)."""
     A6 = np.asarray(A6)
     b6 = np.asarray(b6)
     n_state = 3 * n_frames + n_tail
@@ -95,13 +100,37 @@ def _solve_overlapped(A6, b6, n_frames, n_tail):
         b[cols] += rb
     A *= 1000.0
     b *= 1000.0
-    return np.linalg.solve(A, b)
+    x = np.linalg.solve(A, b)
+    if not return_var:
+        return x
+    chi2 = 0.0
+    for i in range(n_frames - 1):
+        cols = np.r_[3 * i:3 * i + 6, n_state - n_tail:n_state]
+        Ai = A6[i][:, np.r_[0:6, 10 - n_tail:10]]
+        r = Ai @ x[cols] - b6[i]
+        chi2 += float(r @ r)
+    dof = max(6 * (n_frames - 1) - n_state, 1)
+    sigma2 = chi2 / dof
+    # A was scaled by 1000: (1000·N)⁻¹ = N⁻¹/1000
+    var_last = sigma2 * 1000.0 * float(np.linalg.solve(
+        A, np.eye(n_state)[:, -1])[-1])
+    return x, max(var_last, 0.0)
 
 
-def linear_alignment(R, T, delta_p, delta_v, dts, tic, g_norm=9.81):
+def linear_alignment(R, T, delta_p, delta_v, dts, tic, g_norm=9.81,
+                     max_scale_rel_std=0.02):
     """Velocities + gravity + scale (LinearAlignment,
     initial_aligment.cpp:125-197).  Returns (ok, x, g, s) where x holds the
-    per-frame body-frame velocities."""
+    per-frame body-frame velocities.
+
+    Beyond the reference's ‖g‖±1.0 / s>0 gates, acceptance also requires
+    the marginal relative std of the solved scale (from the refined
+    system's normal-matrix covariance) to be below `max_scale_rel_std`.
+    The (g, s, v) system is ill-conditioned until the window has rotated
+    w.r.t. gravity enough; with sub-pixel visual noise the raw solve can
+    drift 30 %+ along the degenerate direction while ‖g‖ still lands
+    inside the reference's band — the covariance gate waits for actual
+    observability instead."""
     n_frames = R.shape[0]
     A6, b6 = _pair_blocks(jnp.asarray(R), jnp.asarray(T), jnp.asarray(delta_p),
                           jnp.asarray(delta_v), jnp.asarray(dts),
@@ -111,9 +140,12 @@ def linear_alignment(R, T, delta_p, delta_v, dts, tic, g_norm=9.81):
     g = x[-4:-1]
     if abs(np.linalg.norm(g) - g_norm) > 1.0 or s < 0:
         return False, None, None, None
-    g, x = refine_gravity(R, T, delta_p, delta_v, dts, tic, g, g_norm)
+    g, x, var_s = refine_gravity(R, T, delta_p, delta_v, dts, tic, g, g_norm)
     s = x[-1] / 100.0
     if s < 0:
+        return False, None, None, None
+    rel_std = float(np.sqrt(var_s)) / 100.0 / max(s, 1e-12)
+    if rel_std > max_scale_rel_std:
         return False, None, None, None
     return True, x, g, s
 
@@ -131,7 +163,8 @@ def refine_gravity(R, T, delta_p, delta_v, dts, tic, g, g_norm=9.81,
     b6 = np.asarray(b6)
     g0 = g / np.linalg.norm(g) * g_norm
     x = None
-    for _ in range(iterations):
+    var_s = 0.0
+    for it in range(iterations):
         lxly = tangent_basis(g0)                                # (3, 2)
         # substitute g = g0 + lxly·dg into the original blocks
         A_g = A6[:, :, 6:9]                                     # (N, 6, 3)
@@ -142,11 +175,40 @@ def refine_gravity(R, T, delta_p, delta_v, dts, tic, g, g_norm=9.81,
         A_pad = np.zeros((A6.shape[0], 6, 10))
         A_pad[:, :, 0:6] = A_it[:, :, 0:6]
         A_pad[:, :, 7:10] = A_it[:, :, 6:9]
-        x = _solve_overlapped(A_pad, b_it, n_frames, 3)
+        x, var_s = _solve_overlapped(A_pad, b_it, n_frames, 3,
+                                     return_var=True)
         dg = x[-3:-1]
         g0 = g0 + lxly @ dg
         g0 = g0 / np.linalg.norm(g0) * g_norm
-    return g0, x
+    return g0, x, var_s
+
+
+def recover_velocities(R, T, delta_p, delta_v, dts, tic, g, s):
+    """Per-frame body-frame velocities given solved (g, s), in closed form
+    from each pair's position row (and the last velocity row for the final
+    frame).  Replaces the joint LS over velocities once gravity and scale
+    are known — each v_i is directly determined by its own pair.
+
+    R (N+1,3,3) body→c0, T (N+1,3) camera positions (visual units),
+    delta_p/delta_v (N,3), dts (N,).  Returns v (N+1, 3)."""
+    R = np.asarray(R)
+    T = np.asarray(T)
+    delta_p = np.asarray(delta_p)
+    delta_v = np.asarray(delta_v)
+    dts = np.asarray(dts)
+    Ri = R[:-1]
+    Rj = R[1:]
+    RiT = np.swapaxes(Ri, -1, -2)
+    RiT_Rj = RiT @ Rj
+    b_pos = delta_p + np.einsum("nij,j->ni", RiT_Rj, tic) - tic
+    dT = np.einsum("nij,nj->ni", RiT, T[1:] - T[:-1]) * s
+    g_i = np.einsum("nij,j->ni", RiT, g)
+    v = np.zeros((R.shape[0], 3))
+    v[:-1] = (dT + 0.5 * (dts ** 2)[:, None] * g_i - b_pos) / dts[:, None]
+    # last frame from the final velocity row:
+    # −v_i + RiT_Rj v_j + RiT·dt·g = Δv  →  v_j = (RiT_Rj)ᵀ(Δv + v_i − RiT·dt·g)
+    v[-1] = RiT_Rj[-1].T @ (delta_v[-1] + v[-2] - dts[-1] * g_i[-1])
+    return v
 
 
 def visual_imu_alignment(R, T, delta_p, delta_v, delta_q, dq_dbg, dts, tic,

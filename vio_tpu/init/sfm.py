@@ -198,6 +198,32 @@ def recover_pose(E, x0, x1, mask):
     return cands_R[k], cands_t[k], votes[k]
 
 
+def relative_rotation(x0, x1, seed=0, thresh=0.3 / 460.0):
+    """Relative camera rotation R with x_0 ≈ R x_1 from ≥9 normalized
+    correspondences — the extrinsic calibrator's per-pair input
+    (solveRelativeR, initial_ex_rotation.cpp:68-110).  Unlike
+    solve_relative_rt there is NO inlier/parallax gate: consecutive-frame
+    pairs have tiny baselines and the calibrator's Huber weighting handles
+    the noisy ones.  Returns None only when the solve is degenerate."""
+    x0 = np.asarray(x0)
+    x1 = np.asarray(x1)
+    if len(x0) < 9:
+        return None
+    key = jax.random.PRNGKey(seed)
+    valid = jnp.ones(len(x0), bool)
+    E, inl, n_inl = essential_ransac(jnp.asarray(x0), jnp.asarray(x1),
+                                     valid, key, thresh)
+    if not bool(jnp.all(jnp.isfinite(E))):
+        return None
+    R, t, votes = recover_pose(E, jnp.asarray(x0), jnp.asarray(x1), inl)
+    R = np.asarray(R)
+    if not np.all(np.isfinite(R)):
+        return None
+    # recover_pose returns R with x1 = R x0 + t; the calibrator wants the
+    # rotation of frame 1 expressed in frame 0 (x_0 = R_rel x_1)
+    return R.T
+
+
 def solve_relative_rt(x0, x1, valid, seed=0, thresh=0.3 / 460.0):
     """Full relative-pose solve (solveRelativeRT, solve_5pts.cpp:193-230).
 

@@ -62,6 +62,65 @@ def load_euroc(seq_dir: str) -> EurocData:
                      cam_files=cam_files, gt_t=gt_t, gt_p=gt_p, gt_q=gt_q)
 
 
+def load_image(path: str) -> np.ndarray:
+    """Load one grayscale frame as float32 (H, W) in [0, 255].  EuRoC ships
+    8-bit PNGs (decoded via PIL); `.npy` arrays are accepted for synthetic
+    sequences."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("L"), np.float32)
+
+
+def write_euroc(data, out_dir: str, n_frames: int | None = None,
+                image_format: str = "npy", render_kw: dict | None = None):
+    """Write a SimData sequence in the EuRoC ASL layout (mav0/imu0/data.csv,
+    mav0/cam0/{data.csv,data/*}, state_groundtruth_estimate0) with frames
+    rendered by sim.render_image — a self-contained end-to-end harness for
+    the run_euroc path without the (absent) real dataset."""
+    from . import sim as sim_mod
+    from .utils import lie
+    import jax.numpy as jnp
+
+    mav = os.path.join(out_dir, "mav0")
+    cam_data = os.path.join(mav, "cam0", "data")
+    os.makedirs(os.path.join(mav, "imu0"), exist_ok=True)
+    os.makedirs(cam_data, exist_ok=True)
+    os.makedirs(os.path.join(mav, "state_groundtruth_estimate0"), exist_ok=True)
+
+    with open(os.path.join(mav, "imu0", "data.csv"), "w") as fh:
+        fh.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for t, g, a in zip(data.imu_t, data.gyr, data.acc):
+            fh.write(f"{int(round(t * 1e9))},{g[0]},{g[1]},{g[2]},"
+                     f"{a[0]},{a[1]},{a[2]}\n")
+
+    n = len(data.cam_t) if n_frames is None else min(n_frames, len(data.cam_t))
+    with open(os.path.join(mav, "cam0", "data.csv"), "w") as fh:
+        fh.write("#timestamp [ns],filename\n")
+        for k in range(n):
+            ns = int(round(data.cam_t[k] * 1e9))
+            img = sim_mod.render_image(data, k, **(render_kw or {}))
+            if image_format == "npy":
+                fn = f"{ns}.npy"
+                np.save(os.path.join(cam_data, fn), img.astype(np.float32))
+            else:
+                from PIL import Image
+                fn = f"{ns}.png"
+                Image.fromarray(img.astype(np.uint8)).save(
+                    os.path.join(cam_data, fn))
+            fh.write(f"{ns},{fn}\n")
+
+    qs = np.asarray(lie.mat_to_quat(jnp.asarray(data.imu_R)))  # x,y,z,w
+    with open(os.path.join(mav, "state_groundtruth_estimate0", "data.csv"),
+              "w") as fh:
+        fh.write("#timestamp,px,py,pz,qw,qx,qy,qz\n")
+        for k in range(n):
+            p, q = data.imu_p[k], qs[k]
+            fh.write(f"{int(round(data.cam_t[k] * 1e9))},"
+                     f"{p[0]},{p[1]},{p[2]},{q[3]},{q[0]},{q[1]},{q[2]}\n")
+
+
 # ---------------------------------------------------------------------------
 # Reference-simulator CSV round trip (drop-in compatibility with the
 # reference's evaluation tooling: imu_pose.txt "t qw qx qy qz px py pz ..."

@@ -115,6 +115,21 @@ def _reproj_residuals(states: WindowStates, f: WindowFactors):
               states.Ps, states.Qs, f.pts_j)
 
 
+@jax.jit
+def feature_reproj_errors(states: WindowStates, f: WindowFactors):
+    """Mean reprojection error per feature over its observed frames, in
+    normalized-plane units (F,).  Multiply by the focal length for pixels.
+    Drives post-solve outlier rejection (the full VINS-Mono's
+    FeatureManager::removeOutlier step — features whose constant
+    measurement offset is inconsistent with any rigid 3D point show up
+    here and would otherwise bias the window scale)."""
+    r = _reproj_residuals(states, f)                    # (F, W1, 2)
+    e = jnp.linalg.norm(r, axis=-1)                     # (F, W1)
+    m = f.obs_mask & f.feat_valid[:, None]
+    n = jnp.maximum(jnp.sum(m, axis=1), 1)
+    return jnp.sum(jnp.where(m, e, 0.0), axis=1) / n
+
+
 def _imu_residuals(states: WindowStates, f: WindowFactors):
     """(W, 15) IMU residuals for intervals k → k+1."""
     W1 = states.Ps.shape[0]
