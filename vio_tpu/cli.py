@@ -18,6 +18,33 @@ import time
 import numpy as np
 
 
+def _dump_telemetry(est, path):
+    if not path:
+        return
+    with open(path, "w") as fh:
+        for rec in est.pop_telemetry():
+            fh.write(json.dumps(rec) + "\n")
+
+
+class _MaybeProfile:
+    """jax.profiler trace context when a directory is given."""
+
+    def __init__(self, trace_dir):
+        self.trace_dir = trace_dir
+
+    def __enter__(self):
+        if self.trace_dir:
+            import jax
+            jax.profiler.start_trace(self.trace_dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.trace_dir:
+            import jax
+            jax.profiler.stop_trace()
+        return False
+
+
 def cmd_run(args):
     from . import metrics, runner, sim
     from .config import sim_config, euroc_config
@@ -26,9 +53,11 @@ def cmd_run(args):
         data = sim.generate(noise=args.noise, pixel_noise=args.pixel_noise)
         cfg = sim_config()
         t0 = time.time()
-        est, traj = runner.run_sim(data, cfg, n_frames=args.frames,
-                                   progress=args.verbose)
+        with _MaybeProfile(args.profile):
+            est, traj = runner.run_sim(data, cfg, n_frames=args.frames,
+                                       progress=args.verbose)
         wall = time.time() - t0
+        _dump_telemetry(est, args.log_jsonl)
         gt_p, gt_R = runner.sim_ground_truth_at(data, traj["t"])
         ape = metrics.ape_rmse(traj["p"], gt_p)
         if args.out:
@@ -40,10 +69,12 @@ def cmd_run(args):
     elif args.dataset == "euroc":
         cfg = euroc_config()
         t0 = time.time()
-        est, traj, data = runner.run_euroc(args.path, cfg,
-                                           n_frames=args.frames,
-                                           progress=args.verbose)
+        with _MaybeProfile(args.profile):
+            est, traj, data = runner.run_euroc(args.path, cfg,
+                                               n_frames=args.frames,
+                                               progress=args.verbose)
         wall = time.time() - t0
+        _dump_telemetry(est, args.log_jsonl)
         if args.out:
             metrics.write_tum(args.out, traj["t"], traj["p"], traj["R"])
         result = dict(dataset="euroc", path=args.path, frames=len(traj["t"]),
@@ -61,10 +92,12 @@ def cmd_run(args):
         data = sim.generate(noise=args.noise, pixel_noise=args.pixel_noise)
         cfg = sim_images_config()
         t0 = time.time()
-        est, traj = runner.run_images(
-            runner.sim_image_frames(data, n_frames=args.frames),
-            data.imu_t, data.acc, data.gyr, cfg, progress=args.verbose)
+        with _MaybeProfile(args.profile):
+            est, traj = runner.run_images(
+                runner.sim_image_frames(data, n_frames=args.frames),
+                data.imu_t, data.acc, data.gyr, cfg, progress=args.verbose)
         wall = time.time() - t0
+        _dump_telemetry(est, args.log_jsonl)
         gt_p, gt_R = runner.sim_ground_truth_at(data, traj["t"])
         ape = metrics.ape_rmse(traj["p"], gt_p)
         if args.out:
@@ -103,6 +136,10 @@ def main(argv=None):
     p.add_argument("--noise", action="store_true")
     p.add_argument("--pixel-noise", type=float, default=0.0)
     p.add_argument("--out", default=None, help="TUM trajectory output path")
+    p.add_argument("--log-jsonl", default=None,
+                   help="per-solve telemetry JSONL output path")
+    p.add_argument("--profile", default=None,
+                   help="jax.profiler trace directory (view with xprof)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.set_defaults(fn=cmd_run)
 

@@ -176,6 +176,14 @@ class Estimator:
         self.estimate_extrinsic = self.cfg.estimate_extrinsic
         self.ex_calibrator = ExtrinsicRotationCalibrator(self.W)
         self.initial_timestamp = 0.0
+        # telemetry survives failure resets (it documents them)
+        self.telemetry: list[dict] = getattr(self, "telemetry", [])
+
+    def pop_telemetry(self) -> list[dict]:
+        """Drain the per-solve telemetry records collected so far."""
+        out = self.telemetry
+        self.telemetry = []
+        return out
 
     # ------------------------------------------------------------------
     # IMU path (processIMU, estimator.cpp:105-139)
@@ -574,11 +582,15 @@ class Estimator:
             proj_sqrt_info=jnp.asarray(self.cfg.focal_length / 1.5))
 
     def _backend_optimization(self):
+        import time as _time
+        t0 = _time.perf_counter()
         states = self._pack_states()
         f = self._pack_factors()
         new_states, b_prior, err_prior, stats = lm.solve_window(
             states, f, max_iter=self.cfg.max_num_iterations,
             fix_ext=self.estimate_extrinsic == 0)
+        jax.block_until_ready(new_states.Ps)
+        t_solve = _time.perf_counter() - t0
         self.b_prior = np.asarray(b_prior)
         self.err_prior = np.asarray(err_prior)
         self._unpack_states(new_states)
@@ -600,6 +612,7 @@ class Estimator:
                        err_prior=jnp.asarray(self.err_prior))
 
         # marginalization (estimator.cpp:1131-1142)
+        t1 = _time.perf_counter()
         if self.marg_flag == MARGIN_OLD:
             states_new = self._pack_states()
             Hp, bp, errp, Jtp = marginalize.marginalize_old(states_new, f)
@@ -619,6 +632,24 @@ class Estimator:
             self.err_prior = self.err_prior * rl
             self.Jt_prior_inv = self.Jt_prior_inv / rl
         self.frame_solved += 1
+
+        # per-solve structured telemetry (the reference prints these at
+        # problem.cc:177,246-248; here they are machine-readable —
+        # SURVEY §5.1/5.5)
+        n_obs = int(np.asarray(f.obs_mask).sum())
+        self.telemetry.append(dict(
+            t=float(self.headers[self.frame_count]),
+            chi2_init=float(np.asarray(stats["chi2_init"])),
+            chi2=float(np.asarray(stats["chi2"])),
+            iterations=int(np.asarray(stats["iterations"])),
+            lam=float(np.asarray(stats["lam"])),
+            n_features=int(np.asarray(f.feat_valid).sum()),
+            n_reproj_factors=n_obs,
+            n_imu_factors=int(np.asarray(f.imu_valid).sum()),
+            marg="old" if self.marg_flag == MARGIN_OLD else "new",
+            solve_ms=round(t_solve * 1e3, 3),
+            marg_ms=round((_time.perf_counter() - t1) * 1e3, 3),
+        ))
 
     def _unpack_states(self, s: W.WindowStates):
         """double2vector with the yaw-gauge re-fix (estimator.cpp:549-600)."""
@@ -745,3 +776,29 @@ class Estimator:
         return (self.headers[self.frame_count],
                 self.Ps[self.frame_count].copy(),
                 self.Rs[self.frame_count].copy())
+
+    def current_landmarks(self):
+        """Local reconstruction at the newest frame for loop closing:
+        (ids, xy (N, 2) normalized coords in the newest frame, pts_cam
+        (N, 3) 3D points in the newest CAMERA frame) for features observed
+        now with a solved depth (the relocalization side data of
+        estimator.cpp:622-642 / setReloFrame)."""
+        j = self.frame_count
+        R_wc_j = self.Rs[j] @ self.ric
+        t_wc_j = self.Ps[j] + self.Rs[j] @ self.tic
+        ids, xys, pts = [], [], []
+        for ft in self.fm.features.values():
+            if ft.end_frame == j and ft.depth > 0:
+                i = ft.start_frame
+                R_wc_i = self.Rs[i] @ self.ric
+                t_wc_i = self.Ps[i] + self.Rs[i] @ self.tic
+                X_w = R_wc_i @ (ft.pts[0] * ft.depth) + t_wc_i
+                X_cj = R_wc_j.T @ (X_w - t_wc_j)
+                p = ft.pts[-1]
+                ids.append(ft.feature_id)
+                xys.append(p[:2] / p[2])
+                pts.append(X_cj)
+        if not ids:
+            return (np.zeros(0, np.int64), np.zeros((0, 2)),
+                    np.zeros((0, 3)))
+        return (np.asarray(ids), np.stack(xys), np.stack(pts))

@@ -111,25 +111,34 @@ class LoopDatabase:
         self.vocab = vocab
         self.alpha = alpha
         self.min_gap = min_gap
-        self.bows: list[np.ndarray] = []
+        self._bows = np.zeros((0, vocab.n_words))
+
+    @property
+    def bows(self):
+        return self._bows
 
     def add(self, descriptors: np.ndarray) -> int:
-        self.bows.append(self.vocab.bow(descriptors))
-        return len(self.bows) - 1
+        v = self.vocab.bow(descriptors)[None, :]
+        self._bows = np.concatenate([self._bows, v], axis=0)
+        return len(self._bows) - 1
+
+    def add_bow(self, v: np.ndarray) -> int:
+        self._bows = np.concatenate([self._bows, v[None, :]], axis=0)
+        return len(self._bows) - 1
 
     def query(self, idx: int):
         """Best loop candidate for frame idx (already added).  Returns
-        (best_idx, score) or None."""
-        if idx < 1:
+        (best_idx, score) or None.  One vectorized L1 pass over the whole
+        database (no per-entry Python loop)."""
+        if idx < 1 or idx - self.min_gap <= 0:
             return None
-        v = self.bows[idx]
-        ref = l1_score(v, self.bows[idx - 1])      # previous-frame norm
-        best, best_s = None, 0.0
-        for j in range(0, idx - self.min_gap):
-            s = l1_score(v, self.bows[j])
-            if s > best_s:
-                best, best_s = j, s
-        if best is None or ref <= 1e-6:
+        v = self._bows[idx]
+        ref = l1_score(v, self._bows[idx - 1])     # previous-frame norm
+        cand = self._bows[:idx - self.min_gap]
+        scores = 1.0 - 0.5 * np.abs(cand - v[None, :]).sum(axis=1)
+        best = int(scores.argmax())
+        best_s = float(scores[best])
+        if ref <= 1e-6:
             return None
         if best_s >= self.alpha * ref:
             return best, best_s

@@ -39,7 +39,7 @@ def feed_interval(est: Estimator, imu_t, acc, gyr, t_prev, t_img, i0):
 
 
 def run_sim(data, cfg: VioConfig | None = None, n_frames: int | None = None,
-            progress=False):
+            progress=False, on_frame=None):
     """Run the estimator over a SimData dataset via the tracker-bypass
     path (landmark ids are feature ids; velocities zero like
     System.cpp:144-146).  Returns (est, traj dict)."""
@@ -70,6 +70,8 @@ def run_sim(data, cfg: VioConfig | None = None, n_frames: int | None = None,
             ps.append(p)
             Rs_out.append(R)
         status.append(est.initialized)
+        if on_frame is not None:
+            on_frame(est, t, feats)
         if progress and k % 50 == 0:
             print(f"frame {k}/{n} init={est.initialized} "
                   f"feats={len(est.fm.features)}")
