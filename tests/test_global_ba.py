@@ -87,3 +87,50 @@ def test_global_ba_sharded_matches():
                        env=env, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, f"stdout:{r.stdout[-800:]}\nstderr:{r.stderr[-1500:]}"
     assert "GLOBAL_BA_SHARD_OK" in r.stdout
+
+
+def test_global_ba_pcg_matches_direct():
+    """Jacobi-PCG pose solve (the scalable path, reference PCGSolver
+    problem.cc:580-610) agrees with the direct solve to solver precision."""
+    gt, _ = make_problem(N=8, M=64, obs_per_lm=4)
+    noisy = perturb(gt, pose_sigma=0.02, rot_sigma=0.005)
+    ref, _ = global_ba.solve(noisy, max_iter=8, fix_frames=2)
+    out, _ = global_ba.solve(noisy, max_iter=8, fix_frames=2, use_pcg=True)
+    err = np.abs(np.asarray(out.Ps) - np.asarray(ref.Ps)).max()
+    assert err < 1e-8, err
+
+
+MAP_SHARD_SCRIPT = r"""
+import os
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from vio_tpu import testing
+from vio_tpu.parallel import global_ba
+
+gt, _ = testing.make_global_problem(N=16, M=64, obs_per_lm=4,
+                                    dtype=jnp.float32)
+noisy = testing.perturb_global(gt, pose_sigma=0.02, rot_sigma=0.005)
+ref, s1 = global_ba.solve(noisy, max_iter=6, fix_frames=2)
+mesh = global_ba.make_mesh_2d(2, 4)
+p_sh = global_ba.shard_problem_2d(noisy, mesh)
+out, s2 = global_ba.solve_sharded(p_sh, mesh, max_iter=6, fix_frames=2)
+err = np.abs(np.asarray(out.Ps) - np.asarray(ref.Ps)).max()
+assert err < 1e-4, err
+print("MAPSHARD_OK", err, float(s1["chi2"]), float(s2["chi2"]))
+"""
+
+
+def test_global_ba_map_axis_sharded():
+    """2-D ("map", "factor") mesh: observations sharded everywhere, the
+    reduced camera system row-partitioned over "map", pose solve via
+    sharded Jacobi-PCG — exact-trajectory agreement with single device."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, "-c", MAP_SHARD_SCRIPT], cwd=ROOT,
+                       env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stdout:{r.stdout[-800:]}\nstderr:{r.stderr[-1500:]}"
+    assert "MAPSHARD_OK" in r.stdout

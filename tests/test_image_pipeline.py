@@ -149,3 +149,28 @@ def test_image_stream_discontinuity_resets_freq_control():
     est, traj = runner.run_images(frames(), data.imu_t, data.acc, data.gyr,
                                   cfg)
     assert len(traj["initialized"]) >= 1
+
+
+def test_async_pipeline_matches_sync():
+    """The pipeline-parallel driver (frontend thread + C++ pairer +
+    backend consumer, runner.run_images_async — the reference's
+    System-thread architecture, run_euroc.cpp:163-171 /
+    System.cpp:339-443) publishes the same frames and reaches the same
+    trajectory as the synchronous driver."""
+    from vio_tpu import runtime
+    if runtime.load_native() is None:
+        pytest.skip("native pairer not built (python native/build.py)")
+    data = half_res_data()
+    cfg = half_res_cfg()
+    est_s, traj_s = runner.run_images(
+        runner.sim_image_frames(data, n_frames=90, **RENDER),
+        data.imu_t, data.acc, data.gyr, cfg)
+    est_a, traj_a = runner.run_images_async(
+        runner.sim_image_frames(data, n_frames=90, **RENDER),
+        data.imu_t, data.acc, data.gyr, cfg)
+    assert est_a.initialized == est_s.initialized
+    assert len(traj_a["t"]) == len(traj_s["t"])
+    np.testing.assert_allclose(traj_a["t"], traj_s["t"])
+    # same IMU pairing semantics (boundary interpolation) → same solve
+    err = np.abs(traj_a["p"] - traj_s["p"]).max()
+    assert err < 1e-6, err

@@ -80,12 +80,21 @@ def _gj_solve_pallas(A_pad: jnp.ndarray, b_pad: jnp.ndarray, n: int,
 def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve the SPD system ``A x = b`` (A: (P, P), b: (P,)).
 
-    Uses the VMEM Gauss-Jordan kernel on TPU float32; otherwise
+    Uses the VMEM Gauss-Jordan kernel on TPU float32 up to P=1024.  Beyond
+    that (the 200-1000-keyframe global-BA configs, BASELINE.json north
+    star) a direct factorization is the wrong tool on TPU — XLA's blocked
+    LU is a long chain of tiny sequential kernels — so large systems route
+    through Jacobi-PCG (solver/pcg.py), whose matvec is one MXU GEMM per
+    iteration and stays sharded under GSPMD (reference's own scalable
+    path: problem.cc:580-610 PCGSolver).  CPU float64 keeps
     ``jnp.linalg.solve``.
     """
     P = A.shape[0]
-    use_pallas = (jax.default_backend() == "tpu" and A.dtype == jnp.float32
-                  and P <= 1024)
+    if P > 1024:
+        from ..solver.pcg import pcg_solve
+        x, _ = pcg_solve(A, b)
+        return x
+    use_pallas = (jax.default_backend() == "tpu" and A.dtype == jnp.float32)
     if not use_pallas:
         return jnp.linalg.solve(A, b)
     N = max(_round_up(P, 128), 256)

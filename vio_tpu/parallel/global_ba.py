@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import factors
 from ..ops import linsolve
+from ..solver import pcg
 from ..utils import lie
 
 
@@ -167,8 +168,14 @@ def assemble(p: GlobalBA, N: int, M: int, fix_frames: int = 1,
                         chi2=0.5 * chi2)
 
 
-def schur_step(n: GlobalNormal, lam, lm_valid):
-    """Landmark Schur + damped pose solve + back-substitution."""
+def schur_step(n: GlobalNormal, lam, lm_valid, use_pcg: bool = False):
+    """Landmark Schur + damped pose solve + back-substitution.
+
+    ``use_pcg=True`` solves the reduced system with Jacobi-PCG instead of
+    the direct VMEM kernel — the scalable path: under a map-axis sharding
+    the CG matvec is a row-block GEMV whose partial products GSPMD reduces
+    with one psum (the reference's own answer at scale, PCGSolver
+    problem.cc:580-610)."""
     P6 = n.Hpp.shape[0]
     Hmm_inv = jnp.where(n.Hmm > 1e-12, 1.0 / jnp.maximum(n.Hmm, 1e-12), 0.0)
     Hmm_inv = jnp.where(lm_valid, Hmm_inv, 0.0)
@@ -176,7 +183,10 @@ def schur_step(n: GlobalNormal, lam, lm_valid):
     S = n.Hpp - tempH @ n.Hpm.T                      # <- MXU GEMM (6N,M,6N)
     rhs = n.bp - tempH @ n.bm
     S = S + lam * jnp.eye(P6, dtype=S.dtype)
-    dxp = linsolve.spd_solve(S, rhs)
+    if use_pcg:
+        dxp, _ = pcg.pcg_solve(S, rhs, rtol=1e-8)
+    else:
+        dxp = linsolve.spd_solve(S, rhs)
     dxm = Hmm_inv * (n.bm - n.Hpm.T @ dxp)
     return dxp, dxm
 
@@ -195,14 +205,16 @@ def apply_delta(p: GlobalBA, dxp, dxm, fix_frames: int = 1) -> GlobalBA:
     return p._replace(Ps=p.Ps + d[:, 0:3], Qs=Qs, inv_dep=inv_dep)
 
 
-@partial(jax.jit, static_argnames=("max_iter", "fix_frames", "loss_delta"))
-def solve(p: GlobalBA, max_iter: int = 20, fix_frames: int = 1,
-          loss_delta: float = 1.0):
-    """Jitted Nielsen-LM over the global problem (lax.while_loop, same
-    control flow as solver/lm.py).  Returns (p, stats)."""
+def _solve_impl(p: GlobalBA, max_iter: int, fix_frames: int,
+                loss_delta: float, use_pcg: bool = False, constrain=None):
+    """Nielsen-LM over the global problem (lax.while_loop, same control
+    flow as solver/lm.py).  ``constrain`` re-shards each assembled normal
+    system (map-axis row blocks) before the Schur/CG step."""
     N = p.Ps.shape[0]
     M = p.inv_dep.shape[0]
-    n0 = assemble(p, N, M, fix_frames, loss_delta)
+    if constrain is None:
+        constrain = lambda n: n
+    n0 = constrain(assemble(p, N, M, fix_frames, loss_delta))
     max_diag = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(n0.Hpp))),
                            jnp.max(jnp.abs(n0.Hmm)))
     lam0 = 1e-5 * jnp.minimum(max_diag, 5e10)
@@ -213,9 +225,9 @@ def solve(p: GlobalBA, max_iter: int = 20, fix_frames: int = 1,
 
     def body(s):
         p_, n, lam, ni, chi, it, stop = s
-        dxp, dxm = schur_step(n, lam, p_.lm_valid)
+        dxp, dxm = schur_step(n, lam, p_.lm_valid, use_pcg)
         cand = apply_delta(p_, dxp, dxm, fix_frames)
-        n_cand = assemble(cand, N, M, fix_frames, loss_delta)
+        n_cand = constrain(assemble(cand, N, M, fix_frames, loss_delta))
         dx = jnp.concatenate([dxp, dxm])
         b = jnp.concatenate([n.bp, n.bm])
         scale = 0.5 * jnp.dot(dx, lam * dx + b) + 1e-9
@@ -240,6 +252,14 @@ def solve(p: GlobalBA, max_iter: int = 20, fix_frames: int = 1,
     return p_out, dict(chi2=chi, chi2_init=n0.chi2, iterations=it, lam=lam)
 
 
+@partial(jax.jit, static_argnames=("max_iter", "fix_frames", "loss_delta",
+                                   "use_pcg"))
+def solve(p: GlobalBA, max_iter: int = 20, fix_frames: int = 1,
+          loss_delta: float = 1.0, use_pcg: bool = False):
+    """Jitted Nielsen-LM over the global problem.  Returns (p, stats)."""
+    return _solve_impl(p, max_iter, fix_frames, loss_delta, use_pcg)
+
+
 # ---------------------------------------------------------------------------
 # Sharding
 # ---------------------------------------------------------------------------
@@ -252,3 +272,56 @@ def shard_problem(p: GlobalBA, mesh: Mesh, axis: str = "factor") -> GlobalBA:
     sh = GlobalBA(Ps=r, Qs=r, inv_dep=o, host=o, bearing0=o, lm_valid=o,
                   lm_idx=o, frame=o, bearing=o, valid=o, sqrt_info=r)
     return jax.tree.map(jax.device_put, p, sh)
+
+
+def make_mesh_2d(n_map: int, n_factor: int, devices=None) -> Mesh:
+    """2-D device mesh: keyframe blocks over "map" (the reduced camera
+    system's row partition), observations over "factor" (SURVEY.md §2.5
+    map-block sharding).  On a pod slice, lay "factor" on the inner (ICI-
+    nearest) axis so the assembly psum rides ICI; "map" is the outer axis
+    (DCN across hosts under jax.distributed)."""
+    devs = devices if devices is not None else jax.devices()
+    assert len(devs) >= n_map * n_factor, (len(devs), n_map, n_factor)
+    arr = np.asarray(devs[: n_map * n_factor]).reshape(n_map, n_factor)
+    return Mesh(arr, ("map", "factor"))
+
+
+def shard_problem_2d(p: GlobalBA, mesh: Mesh) -> GlobalBA:
+    """Observation/landmark axes over BOTH mesh axes (flattened) so every
+    device owns an observation shard; pose arrays replicate.  The map-axis
+    row partition of the assembled Hpp/Hpm/bp is applied inside
+    ``solve_sharded`` via sharding constraints."""
+    n_all = mesh.devices.size
+    r = NamedSharding(mesh, P())
+    o = NamedSharding(mesh, P(("map", "factor")))
+    for name, ax in (("observations", p.lm_idx.shape[0]),
+                     ("landmarks", p.inv_dep.shape[0])):
+        assert ax % n_all == 0, f"{name} axis {ax} must divide mesh {n_all}"
+    sh = GlobalBA(Ps=r, Qs=r, inv_dep=o, host=o, bearing0=o, lm_valid=o,
+                  lm_idx=o, frame=o, bearing=o, valid=o, sqrt_info=r)
+    return jax.tree.map(jax.device_put, p, sh)
+
+
+def solve_sharded(p: GlobalBA, mesh: Mesh, max_iter: int = 20,
+                  fix_frames: int = 1, loss_delta: float = 1.0):
+    """Map-block sharded global BA (SURVEY.md §2.5 / §7.3 distributed
+    Schur): observations sharded over the whole mesh for assembly; the
+    assembled reduced-system rows constrained to "map" row blocks; the
+    damped pose solve runs Jacobi-PCG whose GEMV partial products meet in
+    one GSPMD psum per iteration.  Call with ``p`` already placed by
+    ``shard_problem_2d`` (or let GSPMD re-shard).  Identical math to
+    ``solve`` — tests assert exact-trajectory agreement."""
+    row = NamedSharding(mesh, P("map"))
+    row2 = NamedSharding(mesh, P("map", None))
+    rep = NamedSharding(mesh, P())
+
+    def constrain(n: GlobalNormal) -> GlobalNormal:
+        c = jax.lax.with_sharding_constraint
+        return GlobalNormal(Hpp=c(n.Hpp, row2), bp=c(n.bp, row),
+                            Hpm=c(n.Hpm, row2), Hmm=c(n.Hmm, rep),
+                            bm=c(n.bm, rep), chi2=c(n.chi2, rep))
+
+    fn = jax.jit(partial(_solve_impl, max_iter=max_iter,
+                         fix_frames=fix_frames, loss_delta=loss_delta,
+                         use_pcg=True, constrain=constrain))
+    return fn(p)

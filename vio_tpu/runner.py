@@ -205,6 +205,153 @@ def run_images(frames, imu_t, acc, gyr, cfg: VioConfig,
     return est, traj
 
 
+def run_images_async(frames, imu_t, acc, gyr, cfg: VioConfig,
+                     camera=None, tracker=None, progress=False,
+                     on_frame=None):
+    """Pipeline-parallel image playback: the frontend (CLAHE + KLT
+    tracking of frame t+1) runs in a producer thread, overlapped with the
+    estimator's solve of frame t in the calling thread, connected by the
+    C++ measurement pairer (native/vio_native.cpp — the reference's
+    System queue/thread architecture, run_euroc.cpp:163-171 producer
+    threads + System.cpp:339-443 ProcessBackEnd consumer, re-derived as a
+    GIL-released pairing queue; SURVEY.md §2.5 pipeline analog).
+
+    Same stream semantics as ``run_images`` (priming frames, >1 s-gap
+    reset, cfg.freq publish gating, first-publish skip); the IMU feed is
+    the pairer's boundary-interpolated rows instead of host-side
+    ``feed_interval``.  Returns (est, traj dict).
+    """
+    import threading
+
+    from . import runtime
+
+    if runtime.load_native() is None:
+        # the pure-Python pairer is single-threaded; without the C++
+        # extension the synchronous driver is the correct degradation
+        return run_images(frames, imu_t, acc, gyr, cfg, camera=camera,
+                          tracker=tracker, progress=progress,
+                          on_frame=on_frame)
+
+    est = Estimator(cfg)
+    trk = tracker if tracker is not None else make_tracker(cfg, camera)
+    pairer = runtime.make_pairer()
+
+    imu_t = np.asarray(imu_t)
+    acc = np.asarray(acc)
+    gyr = np.asarray(gyr)
+
+    packets: dict[int, dict] = {}
+    producer_error: list[BaseException] = []
+
+    def producer():
+        try:
+            init_feature = False
+            first_image_flag = True
+            first_image_time = 0.0
+            last_image_time = 0.0
+            pub_count = 1
+            init_pub = False
+            imu_i = 0
+            handle = 0
+            n_frames = 0
+            for t, img in frames:
+                n_frames += 1
+                if not init_feature:
+                    init_feature = True
+                    continue
+                if first_image_flag:
+                    first_image_flag = False
+                    first_image_time = t
+                    last_image_time = t
+                    continue
+                if t - last_image_time > 1.0 or t < last_image_time:
+                    first_image_flag = True
+                    last_image_time = 0.0
+                    pub_count = 1
+                    continue
+                last_image_time = t
+
+                elapsed = max(t - first_image_time, 1e-9)
+                pub = round(pub_count / elapsed) <= cfg.freq
+                if pub and abs(pub_count / elapsed - cfg.freq) < 0.01 * cfg.freq:
+                    first_image_time = t
+                    pub_count = 0
+
+                if callable(img):
+                    img = img()
+                feats = trk.read_image(np.asarray(img), t)
+
+                if pub:
+                    pub_count += 1
+                    if not init_pub:
+                        init_pub = True
+                        continue
+                    # stream IMU ahead of the frame so the pairer can close
+                    # the packet (System.cpp: imu thread runs ahead)
+                    while imu_i < len(imu_t) and imu_t[imu_i] <= t:
+                        pairer.push_imu(float(imu_t[imu_i]), *acc[imu_i],
+                                        *gyr[imu_i])
+                        imu_i += 1
+                    if imu_i < len(imu_t):
+                        pairer.push_imu(float(imu_t[imu_i]), *acc[imu_i],
+                                        *gyr[imu_i])
+                        imu_i += 1
+                    packets[handle] = feats
+                    pairer.push_frame(float(t), handle)
+                    handle += 1
+                if progress and n_frames % 50 == 0:
+                    print(f"[frontend] frame {n_frames} t={t:.2f} "
+                          f"tracked={len(feats)}")
+        except BaseException as e:  # surface in the consumer
+            producer_error.append(e)
+        finally:
+            pairer.close()
+
+    th = threading.Thread(target=producer, name="vio-frontend", daemon=True)
+    th.start()
+
+    ts, ps, Rs_out, status = [], [], [], []
+    current = None
+    n_solved = 0
+    while True:
+        pkt = pairer.next(wait=True)
+        if pkt is None:
+            break
+        ft, handle, rows = pkt
+        feats = packets.pop(handle)
+        if current is None:
+            current = ft          # first publish: no IMU integration yet
+        else:
+            for row in rows:
+                rt = row[0]
+                if rt <= current:
+                    continue
+                est.process_imu(rt - current, np.asarray(row[1:4]),
+                                np.asarray(row[4:7]))
+                current = rt
+            if current < ft:
+                current = ft
+        est.process_image(feats, ft)
+        n_solved += 1
+        if est.initialized:
+            tt, p, R = est.latest_pose()
+            ts.append(tt)
+            ps.append(p)
+            Rs_out.append(R)
+        status.append(est.initialized)
+        if on_frame is not None:
+            on_frame(est, ft, feats)
+        if progress and n_solved % 50 == 0:
+            print(f"[backend] solved {n_solved} t={ft:.2f} "
+                  f"init={est.initialized}")
+    th.join()
+    if producer_error:
+        raise producer_error[0]
+    traj = dict(t=np.asarray(ts), p=np.asarray(ps), R=np.asarray(Rs_out),
+                initialized=np.asarray(status))
+    return est, traj
+
+
 def sim_image_frames(data, n_frames: int | None = None, **render_kw):
     """Lazy (t, loader) frame stream rendered from a SimData sequence
     (sim.render_image) — the harness that exercises the REAL tracker path
