@@ -33,7 +33,7 @@ def _time_it(fn, *args, n=20, warmup=True):
     return (time.perf_counter() - t0) / n
 
 
-def bench_window(max_features: int, n: int = 20):
+def bench_window(max_features: int, n: int = 20, want_flops: bool = False):
     from vio_tpu import testing
     from vio_tpu.solver import lm
 
@@ -46,8 +46,33 @@ def bench_window(max_features: int, n: int = 20):
         new_states, _, _, stats = lm.solve_window(states, f, max_iter=10)
         return new_states.Ps, stats["chi2"]
 
-    dt = _time_it(jax.jit(step), states, f, n=n)
-    return 1.0 / dt, live
+    jitted = jax.jit(step)
+    dt = _time_it(jitted, states, f, n=n)
+    flops = None
+    if want_flops:
+        try:
+            ca = jitted.lower(states, f).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
+    return 1.0 / dt, live, flops
+
+
+def bench_e2e_sim(n_frames: int = 200):
+    """Full estimator pipeline frames/s over the tracker-bypass sim stream
+    (IMU feed + feature packaging + init + per-frame window solve +
+    marginalization + slide — everything but image tracking)."""
+    from vio_tpu import runner, sim
+
+    data = sim.generate(noise=False)
+    # warm the compile caches on a short prefix, then time a fresh run
+    runner.run_sim(data, n_frames=min(40, n_frames))
+    t0 = time.perf_counter()
+    est, traj = runner.run_sim(data, n_frames=n_frames)
+    wall = time.perf_counter() - t0
+    return n_frames / wall, bool(est.initialized)
 
 
 def bench_klt(n: int = 20):
@@ -98,13 +123,27 @@ def bench_global_ba(n: int = 5):
 def main():
     details = {}
 
-    fps, live = bench_window(256)
+    fps, live, flops = bench_window(256, want_flops=True)
     details["window_ba_solve_fps_F256"] = round(fps, 2)
     details["window_ba_live_factors_F256"] = live
+    if flops:
+        # roofline note: XLA-counted FLOPs of one full 10-iter solve at the
+        # padded grid shape; achieved rate = flops * solves/s.  The window
+        # problem is small (P=87 reduced system), so this is latency- not
+        # MXU-bound — the large-scale MXU numbers are the global-BA rows.
+        details["window_ba_flops_per_solve"] = flops
+        details["window_ba_achieved_gflops"] = round(flops * fps / 1e9, 1)
 
-    fps1024, live1024 = bench_window(1024, n=10)
+    fps1024, live1024, _ = bench_window(1024, n=10)
     details["window_ba_solve_fps_F1024_euroc_shape"] = round(fps1024, 2)
     details["window_ba_live_factors_F1024"] = live1024
+
+    try:
+        e2e_fps, init_ok = bench_e2e_sim()
+        details["e2e_sim_fps_200frames"] = round(e2e_fps, 2)
+        details["e2e_sim_initialized"] = init_ok
+    except Exception as e:  # pragma: no cover
+        details["e2e_sim_fps_200frames"] = f"error: {e}"
 
     try:
         details["klt_track_fps_150feat_640px_3lvl"] = round(bench_klt(), 2)

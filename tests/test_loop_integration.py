@@ -71,3 +71,46 @@ def test_loop_closing_cuts_drift():
     tail_raw = np.linalg.norm(traj["p"][-20:] - gt_p[-20:], axis=1).mean()
     tail_corr = np.linalg.norm(Ps_c[-20:] - gt_p[-20:], axis=1).mean()
     assert tail_corr < tail_raw, (tail_raw, tail_corr)
+
+
+def test_loop_closer_save_load_roundtrip(tmp_path):
+    """Pose-graph database persistence (the reference's
+    pose_graph_save_path / load_previous_pose_graph flags,
+    euroc_config.yaml:66-70 — read there, implemented here): keyframes,
+    vocabulary, BoW database, and loop edges survive a save/load, and the
+    reloaded closer produces the identical corrected trajectory."""
+    rng = np.random.default_rng(7)
+    closer = LoopCloser(min_gap=2, train_after=3, vocab_words=16,
+                        min_matches=4)
+    K = 8
+    kf_P = rng.standard_normal((K, 3))
+    for k in range(K):
+        desc = rng.integers(0, 2 ** 32, size=(20, 8), dtype=np.uint32)
+        xy = rng.standard_normal((20, 2)) * 0.3
+        pts = rng.standard_normal((20, 3)) + np.array([0, 0, 5.0])
+        closer.add_keyframe(0.1 * k, kf_P[k], np.eye(3), desc, xy,
+                            pts_cam=pts, pts_xy=xy)
+    # a hand-made accepted loop edge (identity relative pose)
+    closer.loops.append((0, K - 1, np.zeros(3),
+                         np.array([0.0, 0.0, 0.0, 1.0])))
+
+    path = str(tmp_path / "posegraph.npz")
+    closer.save(path)
+    back = LoopCloser.load(path)
+
+    assert len(back.kfs) == K
+    assert back.vocab is not None and back.db is not None
+    np.testing.assert_array_equal(np.asarray(back.vocab.words),
+                                  np.asarray(closer.vocab.words))
+    np.testing.assert_allclose(back.db.bows, closer.db.bows)
+    assert len(back.loops) == 1
+    for f0, f1 in zip(closer.kfs, back.kfs):
+        np.testing.assert_array_equal(f0.desc, f1.desc)
+        np.testing.assert_allclose(f0.p, f1.p)
+
+    ts = 0.1 * np.arange(K)
+    Rs = np.tile(np.eye(3), (K, 1, 1))
+    P0, R0 = closer.correct(ts, kf_P, Rs, max_iter=10)
+    P1, R1 = back.correct(ts, kf_P, Rs, max_iter=10)
+    np.testing.assert_allclose(P1, P0, atol=1e-10)
+    np.testing.assert_allclose(R1, R0, atol=1e-10)

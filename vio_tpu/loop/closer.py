@@ -173,6 +173,66 @@ class LoopCloser:
         dq = np.asarray(lie.mat_to_quat(jnp.asarray(R_b)))
         return t_b, dq
 
+    # -- persistence ----------------------------------------------------
+    # (the reference reads pose_graph_save_path / load_previous_pose_graph
+    #  from config/euroc_config.yaml:66-70 but ships no pose-graph node;
+    #  implemented for real here: the keyframe database, vocabulary, and
+    #  accepted loop edges round-trip through one compressed npz)
+
+    def save(self, path: str):
+        arrs = dict(
+            _meta=np.array([self.alpha, self.min_gap, self.vocab_words,
+                            self.train_after, self.match_hamming,
+                            self.min_matches, self.max_reproj,
+                            self.loop_weight], np.float64),
+            _R_ic=self.R_ic, _t_ic=self.t_ic,
+            _n_kfs=np.array(len(self.kfs)),
+            _loops_j=np.array([l[0] for l in self.loops], np.int64),
+            _loops_i=np.array([l[1] for l in self.loops], np.int64),
+            _loops_dP=(np.stack([l[2] for l in self.loops])
+                       if self.loops else np.zeros((0, 3))),
+            _loops_dq=(np.stack([l[3] for l in self.loops])
+                       if self.loops else np.zeros((0, 4))),
+        )
+        if self.vocab is not None:
+            arrs["_vocab_words"] = np.asarray(self.vocab.words)
+            arrs["_vocab_idf"] = np.asarray(self.vocab.idf)
+            arrs["_db_bows"] = np.asarray(self.db.bows)
+        for k, f in enumerate(self.kfs):
+            arrs[f"kf{k}_t"] = np.array(f.t)
+            arrs[f"kf{k}_p"] = f.p
+            arrs[f"kf{k}_R"] = f.R
+            arrs[f"kf{k}_desc"] = f.desc
+            arrs[f"kf{k}_xy"] = f.xy
+            if f.pts_cam is not None:
+                arrs[f"kf{k}_pts_cam"] = np.asarray(f.pts_cam)
+                arrs[f"kf{k}_pts_xy"] = np.asarray(f.pts_xy)
+        np.savez_compressed(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "LoopCloser":
+        z = np.load(path, allow_pickle=False)
+        m = z["_meta"]
+        self = cls(R_ic=z["_R_ic"], t_ic=z["_t_ic"], alpha=float(m[0]),
+                   min_gap=int(m[1]), vocab_words=int(m[2]),
+                   train_after=int(m[3]), match_hamming=int(m[4]),
+                   min_matches=int(m[5]), loop_weight=float(m[7]))
+        self.max_reproj = float(m[6])
+        for k in range(int(z["_n_kfs"])):
+            pc = z[f"kf{k}_pts_cam"] if f"kf{k}_pts_cam" in z else None
+            px = z[f"kf{k}_pts_xy"] if f"kf{k}_pts_xy" in z else None
+            self.kfs.append(Keyframe(float(z[f"kf{k}_t"]), z[f"kf{k}_p"],
+                                     z[f"kf{k}_R"], z[f"kf{k}_desc"],
+                                     z[f"kf{k}_xy"], pc, px))
+        if "_vocab_words" in z:
+            self.vocab = Vocabulary(z["_vocab_words"], z["_vocab_idf"])
+            self.db = LoopDatabase(self.vocab, self.alpha, self.min_gap)
+            self.db._bows = np.asarray(z["_db_bows"])
+        self.loops = [(int(j), int(i), dP, dq) for j, i, dP, dq in
+                      zip(z["_loops_j"], z["_loops_i"], z["_loops_dP"],
+                          z["_loops_dq"])]
+        return self
+
     # -- correction -----------------------------------------------------
 
     def correct(self, ts, Ps, Rs, max_iter: int = 40):
