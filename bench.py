@@ -7,12 +7,17 @@ SAME work shape — a full 10-iteration LM solve of a W=10 window with 256
 reprojection factors (Hessian assembly + landmark Schur + damped pose
 solve + state update, all on device) — and reports frames/s.
 
-stdout carries ONE JSON line (the driver contract).  Additional breadth
-metrics — the EuRoC shape (F=1024), batched KLT tracking, 100-keyframe
-global BA — are printed to stderr and written to BENCH_DETAILS.json so
-regressions across rounds stay visible.
+Driver contract: stdout carries ONE JSON line, printed IMMEDIATELY after
+the headline stage (round 2 printed it last and the driver's timeout ate
+it — VERDICT.md weak #1).  Breadth stages (EuRoC F=1024 shape, batched
+KLT, 100-keyframe global BA, e2e sim) then run each under a global time
+budget (VIO_BENCH_BUDGET_S, default 150 s) and append to
+BENCH_DETAILS.json after EVERY stage, so a hard kill still leaves partial
+evidence.  Set VIO_BENCH_FULL=1 for the unbudgeted full run (600-frame
+fp32 on-chip APE included).
 """
 import json
+import os
 import sys
 import time
 
@@ -20,7 +25,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the window-solve program costs ~2 min of XLA
+# compile on a cold chip; cached it loads in seconds, which is what lets
+# the breadth stages fit the driver budget.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 BASELINE_FPS = 25.0  # reference solver budget: 0.04 s/frame
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("VIO_BENCH_BUDGET_S", "150"))
+_FULL = os.environ.get("VIO_BENCH_FULL", "") == "1"
+
+
+def _remaining():
+    return (_BUDGET - (time.monotonic() - _T0)) if not _FULL else 1e9
 
 
 def _time_it(fn, *args, n=20, warmup=True):
@@ -60,7 +80,7 @@ def bench_window(max_features: int, n: int = 20, want_flops: bool = False):
     return 1.0 / dt, live, flops
 
 
-def bench_e2e_sim(n_frames: int = 200):
+def bench_e2e_sim(n_frames: int = 120):
     """Full estimator pipeline frames/s over the tracker-bypass sim stream
     (IMU feed + feature packaging + init + per-frame window solve +
     marginalization + slide — everything but image tracking)."""
@@ -73,6 +93,19 @@ def bench_e2e_sim(n_frames: int = 200):
     est, traj = runner.run_sim(data, n_frames=n_frames)
     wall = time.perf_counter() - t0
     return n_frames / wall, bool(est.initialized)
+
+
+def bench_fp32_ape(n_frames: int = 600):
+    """Full-length noise-free sim APE in on-device float32 — the accuracy
+    evidence for the real chip (VERDICT.md next-round #2; reference
+    publishes 0.0409 m, doc/noise-free/results.zip::stats.json)."""
+    from vio_tpu import metrics, runner, sim
+
+    data = sim.generate(noise=False)
+    est, traj = runner.run_sim(data, n_frames=n_frames)
+    gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
+    ape = metrics.ape_rmse(traj["p"], gt_p)
+    return float(ape["rmse"]), bool(est.initialized)
 
 
 def bench_klt(n: int = 20):
@@ -120,10 +153,28 @@ def bench_global_ba(n: int = 5):
     return dt * 1e3
 
 
-def main():
-    details = {}
+def _flush_details(details):
+    try:
+        with open("BENCH_DETAILS.json", "w") as fh:
+            json.dump(details, fh, indent=2)
+    except OSError:
+        pass
 
+
+def main():
+    details = {"device": str(jax.devices()[0]),
+               "budget_s": None if _FULL else _BUDGET}
+
+    # ---- headline FIRST: the driver contract line, flushed immediately ----
     fps, live, flops = bench_window(256, want_flops=True)
+    print(json.dumps({
+        "metric": "window_ba_solve_fps",
+        "value": round(fps, 2),
+        "unit": "frames/s (10-iter LM, W=10, F=256 grid / "
+                f"{live} live factors, 1 chip)",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }), flush=True)
+
     details["window_ba_solve_fps_F256"] = round(fps, 2)
     details["window_ba_live_factors_F256"] = live
     if flops:
@@ -133,43 +184,39 @@ def main():
         # MXU-bound — the large-scale MXU numbers are the global-BA rows.
         details["window_ba_flops_per_solve"] = flops
         details["window_ba_achieved_gflops"] = round(flops * fps / 1e9, 1)
+    _flush_details(details)
 
-    fps1024, live1024, _ = bench_window(1024, n=10)
-    details["window_ba_solve_fps_F1024_euroc_shape"] = round(fps1024, 2)
-    details["window_ba_live_factors_F1024"] = live1024
+    # ---- breadth stages, each budget-gated + appended incrementally ----
+    # (min_s = rough compile+run cost on the real chip; skip-and-record
+    #  when the remaining budget can't cover it)
+    def stage(key, min_s, fn):
+        if _remaining() < min_s:
+            details[key] = f"skipped (budget: {_remaining():.0f}s left, " \
+                           f"need ~{min_s}s)"
+        else:
+            try:
+                details[key] = fn()
+            except Exception as e:  # pragma: no cover
+                details[key] = f"error: {e}"
+        _flush_details(details)
 
-    try:
-        e2e_fps, init_ok = bench_e2e_sim()
-        details["e2e_sim_fps_200frames"] = round(e2e_fps, 2)
-        details["e2e_sim_initialized"] = init_ok
-    except Exception as e:  # pragma: no cover
-        details["e2e_sim_fps_200frames"] = f"error: {e}"
+    stage("klt_track_fps_150feat_640px_3lvl", 30,
+          lambda: round(bench_klt(), 2))
+    stage("window_ba_solve_fps_F1024_euroc_shape", 60,
+          lambda: round(bench_window(1024, n=10)[0], 2))
+    stage("global_ba_100kf_10iter_ms", 60,
+          lambda: round(bench_global_ba(), 2))
+    stage("e2e_sim_fps_120frames", 90,
+          lambda: (lambda f, ok: {"fps": round(f, 2), "initialized": ok})(
+              *bench_e2e_sim()))
+    if _FULL:
+        stage("fp32_600frame_sim_ape_m", 600,
+              lambda: (lambda a, ok: {"ape_rmse_m": round(a, 4),
+                                      "initialized": ok})(*bench_fp32_ape()))
 
-    try:
-        details["klt_track_fps_150feat_640px_3lvl"] = round(bench_klt(), 2)
-    except Exception as e:  # pragma: no cover
-        details["klt_track_fps_150feat_640px_3lvl"] = f"error: {e}"
-
-    try:
-        details["global_ba_100kf_10iter_ms"] = round(bench_global_ba(), 2)
-    except Exception as e:  # pragma: no cover
-        details["global_ba_100kf_10iter_ms"] = f"error: {e}"
-
-    details["device"] = str(jax.devices()[0])
+    details["total_wall_s"] = round(time.monotonic() - _T0, 1)
+    _flush_details(details)
     print(json.dumps(details, indent=2), file=sys.stderr)
-    try:
-        with open("BENCH_DETAILS.json", "w") as fh:
-            json.dump(details, fh, indent=2)
-    except OSError:
-        pass
-
-    print(json.dumps({
-        "metric": "window_ba_solve_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s (10-iter LM, W=10, F=256 grid / "
-                f"{live} live factors, 1 chip)",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }))
 
 
 if __name__ == "__main__":

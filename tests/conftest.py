@@ -14,6 +14,8 @@ The persistent compilation cache makes repeated suite runs (and the
 estimator's big solver programs) compile once per machine, not once per
 process."""
 import os
+import subprocess
+import sys
 
 import jax
 
@@ -24,3 +26,22 @@ _cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# Build the C++ pairing runtime up front so the async-pipeline parity test
+# never silently skips on a fresh checkout (VERDICT.md r2 weak #3).  Build
+# failures are non-fatal here — the runtime tests then skip with a reason.
+_root = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _native_fresh():
+    import glob
+    sos = glob.glob(os.path.join(_root, "vio_native*.so"))
+    if not sos:
+        return False
+    src = os.path.join(_root, "native", "vio_native.cpp")
+    return os.path.getmtime(sos[0]) >= os.path.getmtime(src)
+
+
+if not _native_fresh():
+    subprocess.run([sys.executable, os.path.join(_root, "native", "build.py")],
+                   capture_output=True)

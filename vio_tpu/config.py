@@ -51,7 +51,10 @@ class VioConfig:
     min_parallax_px: float = 10.0    # keyframe_parallax (pixels); divided by focal
     max_num_iterations: int = 10     # reference hardcodes Solve(10) (estimator.cpp:1037)
     init_depth: float = 5.0          # reference: parameters.cpp INIT_DEPTH
-    td: float = 0.0
+    td: float = 0.0                  # camera-IMU time offset: t_imu =
+                                     # t_cam + td (parameters.cpp TD).
+                                     # Applied by every playback driver
+                                     # before IMU pairing (runner.py).
     outlier_reproj_px: float = 3.0   # post-solve feature rejection gate
                                      # (full VINS-Mono removeOutlier); 0 = off
     prior_forgetting: float = 1.0    # per-frame information decay on the

@@ -57,7 +57,8 @@ def central_gradients(img):
 
 def bilinear_sample(img, xy):
     """Sample img (H, W) at float positions xy (..., 2) (x=col, y=row),
-    with edge clamping.  Pure gather — vmap/jit safe."""
+    with edge clamping.  Pure gather — vmap/jit safe.  Fast on CPU; on
+    TPU prefer patch_sample (one-hot MXU matmuls) for patch grids."""
     H, W = img.shape
     x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
     y = jnp.clip(xy[..., 1], 0.0, H - 1.001)

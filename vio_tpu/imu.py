@@ -53,7 +53,7 @@ def init_state(acc0, gyr0, ba, bg, dtype=None) -> PreintState:
     )
 
 
-def noise_diag(acc_n, gyr_n, acc_w, gyr_w, dtype=jnp.float64):
+def noise_diag(acc_n, gyr_n, acc_w, gyr_w, dtype=None):
     """Diagonal of the 18x18 continuous noise covariance
     (reference integration_base.h:21-27)."""
     an = acc_n * acc_n
@@ -61,7 +61,7 @@ def noise_diag(acc_n, gyr_n, acc_w, gyr_w, dtype=jnp.float64):
     aw = acc_w * acc_w
     gw = gyr_w * gyr_w
     return jnp.array([an] * 3 + [gn] * 3 + [an] * 3 + [gn] * 3 + [aw] * 3 + [gw] * 3,
-                     dtype=dtype)
+                     dtype=dtype or jnp.result_type(float))
 
 
 def midpoint_step(state: PreintState, dt, acc1, gyr1, noise_d) -> PreintState:

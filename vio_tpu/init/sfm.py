@@ -352,8 +352,9 @@ def _sfm_ba(obs, use, l, Rs, ts, X, tri):
     x0 = jnp.concatenate([jnp.zeros(6 * K), jnp.asarray(X[fidx]).reshape(-1)])
     ts0 = jnp.asarray(ts)
 
-    free_rot = jnp.asarray([(k != l) for k in range(K)], jnp.float64)
-    free_t = jnp.asarray([(k != l and k != last) for k in range(K)], jnp.float64)
+    fdt = jnp.result_type(float)  # f64 on x64 CPU tests, f32 on TPU
+    free_rot = jnp.asarray([(k != l) for k in range(K)], fdt)
+    free_t = jnp.asarray([(k != l and k != last) for k in range(K)], fdt)
 
     def residuals(x):
         dpose = x[:6 * K].reshape(K, 6)

@@ -23,7 +23,8 @@ __all__ = [
 ]
 
 
-def quat_identity(dtype=jnp.float64):
+def quat_identity(dtype=None):
+    dtype = dtype or jnp.result_type(float)
     return jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype)
 
 
