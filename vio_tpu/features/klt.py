@@ -36,6 +36,15 @@ PATCH = 21          # cv::calcOpticalFlowPyrLK default window
 HALF = PATCH // 2
 REFINE_HALF = 5     # 11×11 refinement window: small footprint so nearby
                     # features with different parallax cannot drag the fit
+CROP = 48           # per-feature crop side for the TPU iteration path:
+                    # 21-px patch + ±13 px refinement margin (per-level LK
+                    # motion after pyramid init is ≤ a few px)
+
+
+def _use_crops() -> bool:
+    """Crop-based MXU sampling on TPU; direct gathers on CPU (fast there,
+    and keeps the x64 test path simple)."""
+    return jax.default_backend() == "tpu"
 
 
 def _patch_grid(dtype, half: int = HALF):
@@ -53,10 +62,9 @@ def _gauss_weights(dtype, half: int):
 
 
 def _sample_patches(img, centers, half: int = HALF):
-    """(N, P²) bilinear patches around centers (N, 2)."""
-    grid = _patch_grid(img.dtype, half)
-    pts = centers[:, None, :] + grid[None, :, :]          # (N, P², 2)
-    return pyramid.bilinear_sample(img, pts)
+    """(N, P²) bilinear patches around centers (N, 2).  Dispatches to
+    one-hot MXU matmuls on TPU, gathers on CPU (pyramid.patch_sample)."""
+    return pyramid.patch_sample(img, centers, half)
 
 
 def _zero_mean(P):
@@ -70,9 +78,9 @@ def _ic_iterate(img1, T, Gx, Gy, p1_init, n_iters: int, scale: float = 1.0,
     positions p1_init.  `scale` converts full-res coords to this pyramid
     level (positions at the level are p / scale).  Returns (p1, good_H,
     residual) — residual is the mean |zero-mean diff| at the solution."""
-    grid = _patch_grid(img1.dtype, half)
+    P2 = (2 * half + 1) ** 2
     w = _gauss_weights(img1.dtype, half) if weighted else \
-        jnp.ones(grid.shape[0], img1.dtype)
+        jnp.ones(P2, img1.dtype)
     T0 = _zero_mean(T)
     H00 = jnp.sum(w * Gx * Gx, axis=1)
     H01 = jnp.sum(w * Gx * Gy, axis=1)
@@ -81,9 +89,25 @@ def _ic_iterate(img1, T, Gx, Gy, p1_init, n_iters: int, scale: float = 1.0,
     good_H = det > 1e-6
     inv_det = jnp.where(good_H, 1.0 / jnp.where(good_H, det, 1.0), 0.0)
 
+    if _use_crops():
+        # extract per-feature crops ONCE at the initial positions; every
+        # iteration samples inside the tiny crops (the LK basin is well
+        # within the crop margin)
+        C = _crop_size(half)
+        Hh, Ww = img1.shape
+        corners = pyramid.crop_corners(p1_init / scale, C, Hh, Ww)
+        crops = pyramid.extract_crops(img1, corners, C)[None]  # (1,N,C,C)
+        off = corners.astype(img1.dtype)
+
+        def sample(p1):
+            return pyramid.patch_from_crops_multi(
+                crops, p1 / scale - off, half)[0]
+    else:
+        def sample(p1):
+            return pyramid.patch_sample(img1, p1 / scale, half)
+
     def body(_, p1):
-        I = pyramid.bilinear_sample(
-            img1, p1[:, None, :] / scale + grid[None, :, :])
+        I = sample(p1)
         r = _zero_mean(I) - T0                             # (N, P²)
         b0 = jnp.sum(w * Gx * r, axis=1)
         b1 = jnp.sum(w * Gy * r, axis=1)
@@ -93,7 +117,7 @@ def _ic_iterate(img1, T, Gx, Gy, p1_init, n_iters: int, scale: float = 1.0,
         return p1 - scale * jnp.stack([du, dv], axis=-1)
 
     p1 = jax.lax.fori_loop(0, n_iters, body, p1_init)
-    I = pyramid.bilinear_sample(img1, p1[:, None, :] / scale + grid[None, :, :])
+    I = sample(p1)
     res = jnp.mean(jnp.abs(_zero_mean(I) - T0), axis=1)
     return p1, good_H, res
 
@@ -104,11 +128,33 @@ def _track_level(img0, img1, p0, p1_init, n_iters: int, eps: float):
     p0 (N,2): template positions in img0; p1_init: current guesses in img1.
     All positions in THIS level's coordinates.  Returns (p1, converged,
     residual)."""
-    gx, gy = pyramid.central_gradients(img0)
-    T = _sample_patches(img0, p0)                          # (N, P²)
-    Gx = _sample_patches(gx, p0)
-    Gy = _sample_patches(gy, p0)
+    T, Gx, Gy = _templates_at(img0, p0, HALF)
     return _ic_iterate(img1, T, Gx, Gy, p1_init, n_iters)
+
+
+def _crop_size(half: int) -> int:
+    """Crop side per window size: the 21-px track window gets ±13 px of
+    refinement margin, the 11-px refine window ±6 (refine gates shifts at
+    2 px anyway)."""
+    return CROP if half >= 8 else 24
+
+
+def _templates_at(img, p0, half):
+    """Template patch + gradients at fixed positions p0: (T, Gx, Gy), each
+    (N, P²).  Crop path on TPU (gradients computed inside the crops — the
+    invalid outermost ring stays outside the patch except for features
+    pinned at the image border, which the in-bounds gates drop anyway)."""
+    if _use_crops():
+        C = _crop_size(half)
+        Hh, Ww = img.shape
+        corners = pyramid.crop_corners(p0, C, Hh, Ww)
+        crops = pyramid.extract_crops(img, corners, C)
+        gx, gy = pyramid.crop_gradients(crops)
+        local = p0 - corners.astype(img.dtype)
+        return pyramid.patch_from_crops_multi(
+            jnp.stack([crops, gx, gy]), local, half)
+    gx, gy = pyramid.central_gradients(img)
+    return pyramid.patch_sample_multi(jnp.stack([img, gx, gy]), p0, half)
 
 
 @partial(jax.jit, static_argnames=("levels", "n_iters"))
@@ -148,11 +194,7 @@ def sample_templates(img, p0):
     track (unlike frame-to-frame KLT, whose template re-anchors on the
     previous estimate each frame — a random walk of ~0.1 px/frame that
     wrecks long-track BA accuracy)."""
-    gx, gy = pyramid.central_gradients(img)
-    T = _sample_patches(img, p0, REFINE_HALF)
-    Gx = _sample_patches(gx, p0, REFINE_HALF)
-    Gy = _sample_patches(gy, p0, REFINE_HALF)
-    return T, Gx, Gy
+    return _templates_at(img, p0, REFINE_HALF)
 
 
 @partial(jax.jit, static_argnames=("n_iters",))

@@ -70,7 +70,10 @@ def describe(img, xy, valid):
     bits = bits & valid[:, None]
     lanes = bits.reshape(bits.shape[0], 8, 32).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(lanes * weights[None, None, :], axis=-1)  # (N, 8) uint32
+    # sum promotes to uint64 under x64 — force the packed lanes back to
+    # uint32 (the popcount below relies on 32-bit wraparound)
+    return jnp.sum(lanes * weights[None, None, :],
+                   axis=-1).astype(jnp.uint32)  # (N, 8) uint32
 
 
 def _popcount32(x):
@@ -83,6 +86,10 @@ def _popcount32(x):
 @jax.jit
 def hamming_matrix(d1, d2):
     """(N1, N2) Hamming distances between packed descriptor sets."""
+    # the multiply-shift popcount needs true 32-bit wraparound; inputs
+    # arriving as uint64 (x64 sum promotion) would silently corrupt it
+    d1 = d1.astype(jnp.uint32)
+    d2 = d2.astype(jnp.uint32)
     x = d1[:, None, :] ^ d2[None, :, :]                    # (N1, N2, 8)
     return jnp.sum(_popcount32(x), axis=-1).astype(jnp.int32)
 

@@ -52,7 +52,8 @@ class LoopCloser:
                  min_gap: int = 60, vocab_words: int = 256,
                  train_after: int = 25, match_hamming: int = 64,
                  min_matches: int = 12, max_reproj_px: float = 3.0,
-                 focal: float = 460.0, loop_weight: float = 5.0):
+                 focal: float = 460.0, loop_weight: float = 5.0,
+                 assoc_tol_px: float = 2.0):
         self.R_ic = np.eye(3) if R_ic is None else np.asarray(R_ic)
         self.t_ic = np.zeros(3) if t_ic is None else np.asarray(t_ic)
         self.alpha = alpha
@@ -63,10 +64,20 @@ class LoopCloser:
         self.min_matches = min_matches
         self.max_reproj = max_reproj_px / focal
         self.loop_weight = loop_weight
+        # descriptor→3D-point association radius on the normalized plane
+        # (real imagery localizes corners to a pixel or two; the old exact
+        # d<1e-6 lookup only worked with oracle-id harnesses)
+        self.assoc_tol = assoc_tol_px / focal
         self.kfs: list[Keyframe] = []
         self.vocab: Vocabulary | None = None
         self.db: LoopDatabase | None = None
         self.loops: list[tuple] = []      # (j_old, i_new, dP, dq)
+        # live drift: world-frame correction (R_d, t_d) from the most
+        # recent accepted loop's pose-graph solve, applied to poses
+        # published AFTER the loop (the reference's r_drift/t_drift,
+        # estimator.cpp:622-642 relo_relative_* → pose-graph drift)
+        self.drift_R = np.eye(3)
+        self.drift_t = np.zeros(3)
 
     # -- ingestion ----------------------------------------------------
 
@@ -111,7 +122,53 @@ class LoopCloser:
             return None
         dP, dq = edge
         self.loops.append((j, k, dP, dq))
+        self._update_drift()
         return (j, k, dP, dq)
+
+    def _update_drift(self, max_iter: int = 40):
+        """Re-solve the pose graph after an accepted loop and cache the
+        newest keyframe's world correction, so subsequent poses can be
+        drift-corrected ONLINE (live_correct) instead of only by a
+        post-hoc trajectory warp."""
+        K = len(self.kfs)
+        if not self.loops or K < 2:
+            return
+        kf_P = np.stack([f.p for f in self.kfs])
+        kf_q = np.stack([np.asarray(lie.mat_to_quat(jnp.asarray(f.R)))
+                         for f in self.kfs])
+        ei, ej, dPs, dqs, w = self._edges(K)
+        P_opt, q_opt, _ = posegraph.optimize(
+            kf_P, kf_q, ei, ej, dPs, dqs, edge_weights=w, max_iter=max_iter)
+        R_opt_last = np.asarray(lie.quat_to_mat(jnp.asarray(q_opt[-1])))
+        self.drift_R = R_opt_last @ self.kfs[-1].R.T
+        self.drift_t = P_opt[-1] - self.drift_R @ self.kfs[-1].p
+
+    def live_correct(self, p, R):
+        """Apply the current drift estimate to a freshly published pose —
+        the online analog of the reference's drift-corrected odometry
+        output (pose_graph drift applied to every new frame)."""
+        return self.drift_R @ np.asarray(p) + self.drift_t, \
+            self.drift_R @ np.asarray(R)
+
+    def _edges(self, K: int):
+        """Pose-graph edge set: sequential odometry + accepted loops."""
+        ei, ej, dPs, dqs, w = [], [], [], [], []
+        for k in range(K - 1):
+            Ri = self.kfs[k].R
+            ei.append(k)
+            ej.append(k + 1)
+            dPs.append(Ri.T @ (self.kfs[k + 1].p - self.kfs[k].p))
+            dqs.append(np.asarray(lie.mat_to_quat(
+                jnp.asarray(Ri.T @ self.kfs[k + 1].R))))
+            w.append(1.0)
+        for (j, i, dP, dq) in self.loops:
+            ei.append(j)
+            ej.append(i)
+            dPs.append(dP)
+            dqs.append(dq)
+            w.append(self.loop_weight)
+        return (np.asarray(ei), np.asarray(ej), np.stack(dPs),
+                np.stack(dqs), np.asarray(w))
 
     # -- geometric verification ----------------------------------------
 
@@ -137,12 +194,15 @@ class LoopCloser:
         ia, ib = self._match(new.desc, old.desc)
         if len(ia) < self.min_matches:
             return None
-        # associate old matches to old 3D points by normalized coords
-        pts3, pts2 = [], []
+        # associate old matches to old 3D points: nearest neighbor on the
+        # normalized plane within assoc_tol, each 3D point used at most once
+        # (exact-lookup association only survives oracle harnesses)
+        pts3, pts2, used = [], [], set()
         for a, b in zip(ia, ib):
             d = np.linalg.norm(old.pts_xy - old.xy[b][None, :], axis=1)
             m = int(d.argmin())
-            if d[m] < 1e-6:
+            if d[m] < self.assoc_tol and m not in used:
+                used.add(m)
                 pts3.append(old.pts_cam[m])
                 pts2.append(new.xy[a])
         if len(pts3) < self.min_matches:
@@ -184,7 +244,7 @@ class LoopCloser:
             _meta=np.array([self.alpha, self.min_gap, self.vocab_words,
                             self.train_after, self.match_hamming,
                             self.min_matches, self.max_reproj,
-                            self.loop_weight], np.float64),
+                            self.loop_weight, self.assoc_tol], np.float64),
             _R_ic=self.R_ic, _t_ic=self.t_ic,
             _n_kfs=np.array(len(self.kfs)),
             _loops_j=np.array([l[0] for l in self.loops], np.int64),
@@ -218,6 +278,8 @@ class LoopCloser:
                    train_after=int(m[3]), match_hamming=int(m[4]),
                    min_matches=int(m[5]), loop_weight=float(m[7]))
         self.max_reproj = float(m[6])
+        if len(m) > 8:
+            self.assoc_tol = float(m[8])
         for k in range(int(z["_n_kfs"])):
             pc = z[f"kf{k}_pts_cam"] if f"kf{k}_pts_cam" in z else None
             px = z[f"kf{k}_pts_xy"] if f"kf{k}_pts_xy" in z else None
@@ -247,26 +309,9 @@ class LoopCloser:
         kf_P = np.stack([f.p for f in self.kfs])
         kf_q = np.stack([np.asarray(lie.mat_to_quat(jnp.asarray(f.R)))
                          for f in self.kfs])
-        ei, ej, dPs, dqs, w = [], [], [], [], []
-        # sequential odometry edges from the estimated trajectory
-        for k in range(K - 1):
-            Ri = self.kfs[k].R
-            dP = Ri.T @ (self.kfs[k + 1].p - self.kfs[k].p)
-            dR = Ri.T @ self.kfs[k + 1].R
-            ei.append(k)
-            ej.append(k + 1)
-            dPs.append(dP)
-            dqs.append(np.asarray(lie.mat_to_quat(jnp.asarray(dR))))
-            w.append(1.0)
-        for (j, i, dP, dq) in self.loops:
-            ei.append(j)
-            ej.append(i)
-            dPs.append(dP)
-            dqs.append(dq)
-            w.append(self.loop_weight)
+        ei, ej, dPs, dqs, w = self._edges(K)
         P_opt, q_opt, _ = posegraph.optimize(
-            kf_P, kf_q, np.asarray(ei), np.asarray(ej), np.stack(dPs),
-            np.stack(dqs), edge_weights=np.asarray(w), max_iter=max_iter)
+            kf_P, kf_q, ei, ej, dPs, dqs, edge_weights=w, max_iter=max_iter)
         R_opt = np.asarray(lie.quat_to_mat(jnp.asarray(q_opt)))
 
         # left-multiplied world corrections per keyframe, applied to every

@@ -148,9 +148,18 @@ def generate(noise: bool = False,
              gyro_bias_sigma: float = 1.0e-5,
              acc_bias_sigma: float = 1.0e-4,
              pixel_noise: float = 0.0,
+             k1: float = 0.0, k2: float = 0.0,
+             p1: float = 0.0, p2: float = 0.0,
              R_bc=None, t_bc=None) -> SimData:
     """Generate the full dataset (constants = reference simulator defaults,
-    simulator/include/param.h:14-36)."""
+    simulator/include/param.h:14-36).
+
+    k1/k2/p1/p2: radial-tangential distortion applied to the PIXEL
+    observations obs_uv (so rendered frames carry real lens distortion the
+    frontend must undo via camera.lift, like EuRoC's camera —
+    reference config/euroc_config.yaml distortion_parameters).  obs_xy
+    stays the IDEAL normalized coordinate (the tracker-bypass path feeds
+    undistorted measurements by definition)."""
     if R_bc is None:
         R_bc = np.array([[0.0, 0.0, -1.0], [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
     if t_bc is None:
@@ -190,14 +199,30 @@ def generate(noise: bool = False,
     pc = np.einsum("mji,mlj->mli", cam_R_wc, pts[None, :, :] - cam_p_wc[:, None, :])
     z = pc[..., 2]
     xy = pc[..., :2] / np.where(np.abs(z[..., None]) < 1e-12, 1e-12, z[..., None])
-    uv = np.stack([fx * xy[..., 0] + cx, fy * xy[..., 1] + cy], axis=-1)
+    if k1 or k2 or p1 or p2:
+        # radtan distortion on the normalized plane (camera.py:43 distort;
+        # reference camodocal PinholeCamera::distortion)
+        x, y = xy[..., 0], xy[..., 1]
+        r2 = x * x + y * y
+        rad = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * rad + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        uv = np.stack([fx * xd + cx, fy * yd + cy], axis=-1)
+    else:
+        uv = np.stack([fx * xy[..., 0] + cx, fy * xy[..., 1] + cy], axis=-1)
     valid = (z > 0) & (uv[..., 0] > 0) & (uv[..., 0] < image_w) & \
             (uv[..., 1] > 0) & (uv[..., 1] < image_h)
     if noise and pixel_noise > 0:
         rng2 = np.random.default_rng(seed + 1)
         duv = pixel_noise * rng2.standard_normal(uv.shape)
         uv = uv + duv
-        xy = np.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], axis=-1)
+        if k1 or k2 or p1 or p2:
+            # first-order: a pixel perturbation maps to duv/f on the
+            # normalized plane (exact inverse would need iterative undistort)
+            xy = xy + duv / np.array([fx, fy])
+        else:
+            xy = np.stack([(uv[..., 0] - cx) / fx,
+                           (uv[..., 1] - cy) / fy], axis=-1)
 
     return SimData(
         imu_t=imu_t, acc=acc, gyr=gyr, acc_bias=acc_bias, gyr_bias=gyr_bias,
@@ -210,13 +235,23 @@ def generate(noise: bool = False,
 
 def render_blobs(uvs, height: int = 640, width: int = 640,
                  sigma: float = 1.8, amplitude: float = 200.0,
-                 background: float = 12.0) -> np.ndarray:
+                 background: float = 12.0, ring_ids=None) -> np.ndarray:
     """Render a grayscale image with a sub-pixel-accurate Gaussian blob at
     each (u, v) in ``uvs`` — the synthetic-image primitive behind
-    render_image, also used directly by stereo/flow tests."""
+    render_image, also used directly by stereo/flow tests.
+
+    ring_ids (optional, len(uvs)): per-blob landmark ids.  When given,
+    each blob's Gaussian envelope is modulated by a RADIAL sinusoid whose
+    frequency/phase are seeded by the id — a distinctive fingerprint for
+    descriptor matching (real loop closing needs tell-apart-able
+    appearance; identical Gaussians defeat any descriptor).  The pattern
+    is a function of |pixel − center| only, so it is invariant to in-plane
+    viewpoint rotation and keeps the blob center a geometrically
+    consistent projection for tracking."""
     img = np.full((height, width), background, np.float32)
     r = int(np.ceil(3 * sigma))
-    for u, v in np.asarray(uvs, np.float64):
+    uvs = np.asarray(uvs, np.float64)
+    for n, (u, v) in enumerate(uvs):
         x0 = int(np.floor(u)) - r
         y0 = int(np.floor(v)) - r
         xs = np.arange(x0, x0 + 2 * r + 1)
@@ -224,6 +259,12 @@ def render_blobs(uvs, height: int = 640, width: int = 640,
         gx = np.exp(-((xs - u) ** 2) / (2 * sigma * sigma))
         gy = np.exp(-((ys - v) ** 2) / (2 * sigma * sigma))
         patch = amplitude * gy[:, None] * gx[None, :]
+        if ring_ids is not None:
+            rng = np.random.default_rng(99000 + int(ring_ids[n]))
+            om = rng.uniform(0.7, 2.3)
+            ph = rng.uniform(0.0, 2.0 * np.pi)
+            rr = np.hypot((xs - u)[None, :], (ys - v)[:, None])
+            patch = patch * (1.0 + 0.8 * np.sin(om * rr + ph))
         xa, xb = max(x0, 0), min(x0 + 2 * r + 1, width)
         ya, yb = max(y0, 0), min(y0 + 2 * r + 1, height)
         if xa < xb and ya < yb:
