@@ -43,13 +43,23 @@ def _remaining():
     return (_BUDGET - (time.monotonic() - _T0)) if not _FULL else 1e9
 
 
+def _materialize(out):
+    """Force results to host.  On the axon TPU tunnel,
+    jax.block_until_ready returns before device execution completes —
+    timing loops that rely on it measure DISPATCH rate, not throughput
+    (round 1/2 headline numbers were inflated ~4.5× by this).  Copying
+    to numpy is the only reliable completion barrier."""
+    for leaf in jax.tree.leaves(out):
+        np.asarray(leaf)
+
+
 def _time_it(fn, *args, n=20, warmup=True):
     if warmup:
-        jax.block_until_ready(fn(*args))
+        _materialize(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(n)]
+    for out in outs:      # device executes calls in order; pipelined
+        _materialize(out)
     return (time.perf_counter() - t0) / n
 
 

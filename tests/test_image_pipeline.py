@@ -132,17 +132,25 @@ def test_euroc_proxy_full_res_distorted_clahe():
 
 @pytest.mark.slow
 def test_images_noisy_imu_end_to_end():
-    """Noisy-IMU image path: the tracker's sub-pixel measurements plus a
-    realistic IMU noise floor (priors matched to the injected sigmas)."""
+    """Noisy-IMU image path with matched priors (the reference's noisy
+    regime, summary.csv row 3 — but through the REAL tracker).
+
+    Accuracy context: the bypass path re-identifies every landmark by
+    oracle id for the whole run (implicit loop closure → 0.026 m here);
+    a real tracker gets NO re-identification, so drift accumulates like
+    real VIO.  The init scale self-consistency gate (split-half alignment
+    agreement, estimator.py _visual_initial_align) is what holds the
+    rigid APE here — without it a plausible-but-10 %-off init scale gets
+    locked in by the prior (0.83 m on this sequence)."""
     data = half_res_data(noise=True)
-    cfg = half_res_cfg(acc_n=0.05, gyr_n=0.02)
+    cfg = half_res_cfg(acc_n=0.2687, gyr_n=0.2121, outlier_reproj_px=3.0)
     est, traj = runner.run_images(
         runner.sim_image_frames(data, n_frames=200, **RENDER),
         data.imu_t, data.acc, data.gyr, cfg)
     assert est.initialized
     gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
-    ape = metrics.ape_rmse(traj["p"], gt_p)
-    assert ape["rmse"] < 0.08, ape
+    ape_rig = metrics.ape_rmse(traj["p"], gt_p)
+    assert ape_rig["rmse"] < 0.45, ape_rig
 
 
 def test_euroc_layout_roundtrip(tmp_path):

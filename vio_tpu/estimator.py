@@ -176,6 +176,7 @@ class Estimator:
         self.estimate_extrinsic = self.cfg.estimate_extrinsic
         self.ex_calibrator = ExtrinsicRotationCalibrator(self.W)
         self.initial_timestamp = 0.0
+        self._init_align_rejects = 0
         # telemetry survives failure resets (it documents them)
         self.telemetry: list[dict] = getattr(self, "telemetry", [])
 
@@ -446,12 +447,37 @@ class Estimator:
         n_pairs = len(self.all_frames) - 1
         stride = max(1, min(4, n_pairs // 8))
         st_m, idx = self._frame_preints(dbg, stride=stride)
+        dp_m = np.asarray(st_m.delta_p)
+        dv_m = np.asarray(st_m.delta_v)
+        dt_m = np.asarray(st_m.sum_dt)
         ok, _x, g_c0, s = alignment.linear_alignment(
-            R_all[idx], T_all[idx], np.asarray(st_m.delta_p),
-            np.asarray(st_m.delta_v), np.asarray(st_m.sum_dt),
+            R_all[idx], T_all[idx], dp_m, dv_m, dt_m,
             self.tic, self.cfg.g_norm)
         if not ok:
             return False
+
+        # Scale self-consistency gate: a noisy-but-plausible alignment can
+        # pass the ‖g‖ band with 10 %+ scale error, which the prior then
+        # locks into the whole run (the reference has no defense — its sim
+        # init sees exact features).  Solve the SAME system on each half
+        # of the pairs; accept only if both halves stand on their own and
+        # agree on scale.  Deferring costs 0.1 s per retry
+        # (estimator.cpp:185-192 retry cadence); a fail-safe accepts after
+        # 12 deferrals so degenerate-motion streams still initialize.
+        if len(idx) >= 8 and self._init_align_rejects < 12:
+            m = (len(idx) + 1) // 2
+
+            def _half(sf, sp):
+                okh, _, _, sh = alignment.linear_alignment(
+                    R_all[idx][sf], T_all[idx][sf], dp_m[sp], dv_m[sp],
+                    dt_m[sp], self.tic, self.cfg.g_norm)
+                return sh if okh else None
+
+            s1 = _half(slice(0, m), slice(0, m - 1))
+            s2 = _half(slice(m - 1, None), slice(m - 1, None))
+            if s1 is None or s2 is None or abs(s1 - s2) > 0.15 * s:
+                self._init_align_rejects += 1
+                return False
         x = alignment.recover_velocities(R_all, T_all, delta_p, delta_v,
                                          dts, self.tic, g_c0, s).reshape(-1)
 

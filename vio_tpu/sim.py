@@ -241,15 +241,19 @@ def render_blobs(uvs, height: int = 640, width: int = 640,
     render_image, also used directly by stereo/flow tests.
 
     ring_ids (optional, len(uvs)): per-blob landmark ids.  When given,
-    each blob's Gaussian envelope is modulated by a RADIAL sinusoid whose
-    frequency/phase are seeded by the id — a distinctive fingerprint for
-    descriptor matching (real loop closing needs tell-apart-able
-    appearance; identical Gaussians defeat any descriptor).  The pattern
-    is a function of |pixel − center| only, so it is invariant to in-plane
-    viewpoint rotation and keeps the blob center a geometrically
-    consistent projection for tracking."""
+    each blob additionally carries a WEAK, WIDE radial-sinusoid
+    fingerprint whose frequency/phase are seeded by the id — distinctive
+    appearance for descriptor matching (real loop closing needs
+    tell-apart-able texture; identical Gaussians defeat any descriptor).
+    The fingerprint is a function of |pixel − center| only (invariant to
+    in-plane viewpoint rotation), its rings are edge-like (low Shi-Tomasi
+    response, so the detector still locks onto the sharp center peak),
+    and it translates rigidly with the center, keeping the tracked corner
+    a geometrically consistent projection."""
     img = np.full((height, width), background, np.float32)
-    r = int(np.ceil(3 * sigma))
+    ring_sigma = 5.0
+    r = int(np.ceil(3 * (max(sigma, ring_sigma) if ring_ids is not None
+                         else sigma)))
     uvs = np.asarray(uvs, np.float64)
     for n, (u, v) in enumerate(uvs):
         x0 = int(np.floor(u)) - r
@@ -264,7 +268,13 @@ def render_blobs(uvs, height: int = 640, width: int = 640,
             om = rng.uniform(0.7, 2.3)
             ph = rng.uniform(0.0, 2.0 * np.pi)
             rr = np.hypot((xs - u)[None, :], (ys - v)[:, None])
-            patch = patch * (1.0 + 0.8 * np.sin(om * rr + ph))
+            env = np.exp(-rr * rr / (2.0 * ring_sigma * ring_sigma))
+            # inner cutoff: the fingerprint vanishes within ~3 px so the
+            # sharp center peak stays the unique Shi-Tomasi maximum (a
+            # ring crest at r≈1-2 px would pull the detected corner off
+            # the true projection)
+            inner = 1.0 - np.exp(-rr * rr / (2.0 * 4.0 * 4.0))
+            patch = patch + 0.15 * amplitude * env * inner * np.sin(om * rr + ph)
         xa, xb = max(x0, 0), min(x0 + 2 * r + 1, width)
         ya, yb = max(y0, 0), min(y0 + 2 * r + 1, height)
         if xa < xb and ya < yb:
