@@ -181,7 +181,9 @@ def main():
         "metric": "window_ba_solve_fps",
         "value": round(fps, 2),
         "unit": "frames/s (10-iter LM, W=10, F=256 grid / "
-                f"{live} live factors, 1 chip)",
+                f"{live} live factors, 1 chip; honest host-sync timing — "
+                "r1/r2 used block_until_ready, which on axon measures "
+                "dispatch rate ~4.5x high)",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
     }), flush=True)
 

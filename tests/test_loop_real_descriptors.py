@@ -49,7 +49,11 @@ def test_loop_closing_with_image_descriptors():
                             focal_length=230.0, image_width=W,
                             image_height=H, min_dist=8,
                             acc_n=0.05 / 3.0, gyr_n=0.01 / 3.0,
-                            freq=6)
+                            freq=6,
+                            # the 1 px default would reject every track
+                            # after ~2 obs in this mis-weighted regime —
+                            # no depths would ever survive for loop PnP
+                            outlier_reproj_px=3.0)
 
     closer = LoopCloser(R_ic=cfg.R_ic, t_ic=cfg.t_ic,
                         min_gap=45, train_after=20, loop_weight=5.0,
@@ -92,9 +96,12 @@ def test_loop_closing_with_image_descriptors():
     Ps_c, Rs_c = closer.correct(traj["t"], traj["p"], traj["R"])
     ape_corr = metrics.ape_rmse(Ps_c, gt_p)
 
-    # the correction must measurably improve the trajectory
-    assert ape_corr["rmse"] < ape_raw["rmse"], (ape_raw, ape_corr)
-    # and the revisit tail (where drift is worst) must shrink
-    tail_raw = np.linalg.norm(traj["p"][-20:] - gt_p[-20:], axis=1).mean()
-    tail_corr = np.linalg.norm(Ps_c[-20:] - gt_p[-20:], axis=1).mean()
-    assert tail_corr < tail_raw, (tail_raw, tail_corr)
+    # with metres of accumulated drift the correction must cut the error
+    # substantially, not just nudge it
+    assert ape_corr["rmse"] < 0.7 * ape_raw["rmse"], (ape_raw, ape_corr)
+    # the ONLINE drift estimate engaged (live_correct path, the
+    # reference's r_drift/t_drift output correction)
+    assert np.linalg.norm(closer.drift_t) > 0 or \
+        np.abs(closer.drift_R - np.eye(3)).max() > 0
+    p_c, R_c = closer.live_correct(traj["p"][-1], traj["R"][-1])
+    assert np.all(np.isfinite(p_c)) and np.all(np.isfinite(R_c))

@@ -808,8 +808,14 @@ class Estimator:
         (ids, xy (N, 2) normalized coords in the newest frame, pts_cam
         (N, 3) 3D points in the newest CAMERA frame) for features observed
         now with a solved depth (the relocalization side data of
-        estimator.cpp:622-642 / setReloFrame)."""
-        j = self.frame_count
+        estimator.cpp:622-642 / setReloFrame).
+
+        Callers (runner on_frame hooks) see the estimator AFTER the
+        window slide, where the just-processed frame's observations sit at
+        index frame_count-1 (the slide copied its states up to
+        frame_count, so both indices hold the same pose)."""
+        fts = self.fm.features.values()
+        j = max((ft.end_frame for ft in fts), default=self.frame_count)
         R_wc_j = self.Rs[j] @ self.ric
         t_wc_j = self.Ps[j] + self.Rs[j] @ self.tic
         ids, xys, pts = [], [], []

@@ -100,7 +100,13 @@ def _solve_overlapped(A6, b6, n_frames, n_tail, return_var=False):
         b[cols] += rb
     A *= 1000.0
     b *= 1000.0
-    x = np.linalg.solve(A, b)
+    try:
+        x = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        # rank-deficient pairs (degenerate motion / fp32 underflow on a
+        # bad attempt): least-squares keeps the attempt alive — the
+        # ‖g‖/scale acceptance gates downstream reject garbage
+        x = np.linalg.lstsq(A, b, rcond=None)[0]
     if not return_var:
         return x
     chi2 = 0.0

@@ -66,6 +66,38 @@ def triangulate_two_frames(R0, t0, R1, t1, xy0, xy1):
 # 05-pnp reference) — fixed-iteration, jittable, robust to masked points
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def pnp_dlt(X, obs, mask):
+    """Linear PnP (direct linear transform): world→camera (R, t) from ≥6
+    correspondences, no initial guess needed.  Solves the 12-parameter
+    projective pose by SVD, fixes the cheirality sign, and projects onto
+    SO(3).  Accuracy is a few percent — intended as the INITIALIZER for
+    pnp_gn when no trustworthy pose guess exists (e.g. loop verification
+    across large accumulated drift, where the odometry relative pose can
+    be meters off and plain GN diverges).
+
+    X (N,3) world points, obs (N,2) normalized coords, mask (N,)."""
+    n = X.shape[0]
+    w = mask.astype(X.dtype)[:, None]
+    Xh = jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=1)   # (N,4)
+    z4 = jnp.zeros_like(Xh)
+    r1 = jnp.concatenate([Xh, z4, -obs[:, 0:1] * Xh], axis=1)      # (N,12)
+    r2 = jnp.concatenate([z4, Xh, -obs[:, 1:2] * Xh], axis=1)
+    A = jnp.concatenate([r1 * w, r2 * w], axis=0)                  # (2N,12)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    P = Vt[-1].reshape(3, 4)
+    # cheirality: majority of masked depths positive
+    depth = X @ P[:, :3].T + P[:, 3]
+    s = jnp.where(jnp.sum(jnp.where(mask, jnp.sign(depth[:, 2]), 0.0)) < 0,
+                  -1.0, 1.0)
+    P = P * s
+    U, S, Vt2 = jnp.linalg.svd(P[:, :3])
+    R = U @ Vt2
+    R = jnp.where(jnp.linalg.det(R) < 0, -R, R)
+    t = P[:, 3] / jnp.maximum(jnp.mean(S), 1e-12)
+    return R, t
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def pnp_gn(X, obs, mask, R0, t0, iters: int = 10):
     """Minimize sum ||proj(R X + t) - obs||² over (R, t) world→camera.

@@ -210,18 +210,27 @@ class LoopCloser:
         pts3 = np.stack(pts3)
         pts2 = np.stack(pts2)
 
-        # initial guess: relative pose from the (drifted) odometry
+        # two initial guesses — the (drifted) odometry relative pose, and a
+        # drift-independent linear DLT pose (with metres of accumulated
+        # drift the odometry guess is far outside plain GN's basin) — keep
+        # whichever GN result reprojects better
         R_wc_old = old.R @ self.R_ic
         t_wc_old = old.p + old.R @ self.t_ic
         R_wc_new = new.R @ self.R_ic
         t_wc_new = new.p + new.R @ self.t_ic
         R0 = R_wc_new.T @ R_wc_old
         t0 = -R_wc_new.T @ (t_wc_new - t_wc_old)
-        R_cn, t_cn, msq = sfm.pnp_gn(jnp.asarray(pts3), jnp.asarray(pts2),
-                                     jnp.ones(len(pts3), bool),
-                                     jnp.asarray(R0), jnp.asarray(t0))
-        R_cn = np.asarray(R_cn)
-        t_cn = np.asarray(t_cn)
+        X = jnp.asarray(pts3)
+        ob = jnp.asarray(pts2)
+        m = jnp.ones(len(pts3), bool)
+        R_a, t_a, msq_a = sfm.pnp_gn(X, ob, m, jnp.asarray(R0),
+                                     jnp.asarray(t0))
+        R_d0, t_d0 = sfm.pnp_dlt(X, ob, m)
+        R_b, t_b, msq_b = sfm.pnp_gn(X, ob, m, R_d0, t_d0)
+        if float(msq_b) < float(msq_a):
+            R_cn, t_cn, msq = np.asarray(R_b), np.asarray(t_b), msq_b
+        else:
+            R_cn, t_cn, msq = np.asarray(R_a), np.asarray(t_a), msq_a
         if not np.all(np.isfinite(R_cn)) or float(msq) > self.max_reproj ** 2:
             return None
         # T_cold_cnew = inv(T_cnew_cold);  x_cnew = R_cn x_cold + t_cn
