@@ -22,8 +22,10 @@ def test_full_noise_free_beats_reference():
     assert len(traj["t"]) >= 580
     gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
     ape = metrics.ape_rmse(traj["p"], gt_p)
-    # reference full-run noise-free: 0.0409 m RMSE
-    assert ape["rmse"] < 0.041, ape
+    # reference full-run noise-free: 0.0409 m RMSE; this path measures
+    # 0.0028 m (RESULTS.md row 1) — gate at 0.010, 4x better than the
+    # reference
+    assert ape["rmse"] < 0.010, ape
 
 
 @pytest.mark.slow
@@ -34,5 +36,9 @@ def test_full_noisy_matched_prior_beats_reference():
     assert est.failure_count == 0
     gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
     ape = metrics.ape_rmse(traj["p"], gt_p)
-    # reference full-run matched prior: 0.0365 m RMSE (we gate at 2×)
-    assert ape["rmse"] < 0.073, ape
+    # reference full-run matched prior: 0.0365 m RMSE on ITS noise
+    # realization; this seed measures 0.0514 m (RESULTS.md row 2 —
+    # noisy-VIO APE varies tens of percent across realizations, and the
+    # noise-free row shows the backend itself is 14x better than the
+    # reference's).  Gate at 0.055 (was 0.073 in round 2).
+    assert ape["rmse"] < 0.055, ape
