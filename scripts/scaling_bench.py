@@ -80,7 +80,7 @@ def _free_port():
     return port
 
 
-def run_config(nprocs, N=32, M=2048, obs_per_lm=8, iters=8, reps=3):
+def run_config(nprocs, N=64, M=8192, obs_per_lm=8, iters=8, reps=3):
     port = str(_free_port())
     args = [str(N), str(M), str(obs_per_lm), str(iters), str(reps)]
     procs = [subprocess.Popen(
@@ -102,11 +102,15 @@ def run_config(nprocs, N=32, M=2048, obs_per_lm=8, iters=8, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALING.md")
+    ap.add_argument("--N", type=int, default=64,
+                    help="keyframes (scaling needs enough work per device "
+                         "to amortize the per-iteration collective)")
+    ap.add_argument("--M", type=int, default=8192, help="landmarks")
     args = ap.parse_args()
 
-    r1 = run_config(1)
+    r1 = run_config(1, N=args.N, M=args.M)
     print(json.dumps(r1), flush=True)
-    r2 = run_config(2)
+    r2 = run_config(2, N=args.N, M=args.M)
     print(json.dumps(r2), flush=True)
 
     eff = r1["solve_s"] / (2.0 * r2["solve_s"])
@@ -114,7 +118,7 @@ def main():
         "# Scaling — sharded global BA, multi-process strong scaling",
         "",
         "Measured by `scripts/scaling_bench.py`: identical "
-        f"{r1['n_obs']}-observation / 32-keyframe global BA "
+        f"{r1['n_obs']}-observation / {args.N}-keyframe global BA "
         "(8-iteration LM, map-axis row partition + Jacobi-PCG pose solve, "
         "`parallel/global_ba.solve_sharded`) solved by 1 vs 2 OS processes "
         "under `jax.distributed.initialize` (Gloo collectives — the DCN "
