@@ -45,3 +45,44 @@ def _native_fresh():
 if not _native_fresh():
     subprocess.run([sys.executable, os.path.join(_root, "native", "build.py")],
                    capture_output=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-test wall-clock limits (round-3 full-suite run died ~45 min in with a
+# faulthandler dump and no attribution, VERDICT.md weak #6).  SIGALRM turns
+# a runaway test into a clean TimeoutError failure naming the test; the
+# limits are far above healthy runtimes (fast tier ~seconds-to-2 min, slow
+# tier ≤ ~10 min per test on this box).  Override per test with
+# @pytest.mark.timeout_s(N).
+# ---------------------------------------------------------------------------
+import signal
+
+import pytest
+
+FAST_LIMIT_S = 420
+SLOW_LIMIT_S = 1500
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "timeout_s(n): per-test wall-clock limit override")
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    mark = item.get_closest_marker("timeout_s")
+    limit = (mark.args[0] if mark else
+             SLOW_LIMIT_S if item.get_closest_marker("slow") else FAST_LIMIT_S)
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded the {limit}s per-test limit "
+            f"(tests/conftest.py)")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(limit))
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

@@ -88,6 +88,24 @@ def fit_allan_params(taus: np.ndarray, adev: np.ndarray, max_iter: int = 80):
                 K=np.sqrt(k2), R=np.sqrt(r2), chi2=stats["chi2"])
 
 
+def detect_static_prefix(gyr: np.ndarray, dt: float, win_s: float = 1.0,
+                         thresh: float = 0.05, margin_s: float = 1.0) -> int:
+    """Number of leading samples during which the IMU is static, judged by
+    the gyro-magnitude standard deviation over sliding windows staying
+    below ``thresh`` [rad/s].  Real sequences (e.g. EuRoC MH-05) begin
+    with the sensor at rest — the only segment on which Allan variance is
+    meaningful.  ``margin_s`` seconds are trimmed before the detected
+    motion onset.  Returns 0 if the stream starts in motion."""
+    g = np.linalg.norm(np.asarray(gyr, np.float64), axis=1)
+    win = max(int(round(win_s / dt)), 2)
+    hop = max(win // 2, 1)
+    for i in range(0, len(g) - win, hop):
+        if g[i:i + win].std() > thresh:
+            onset = i  # window start: conservatively treat as moving
+            return max(int(onset - margin_s / dt), 0)
+    return len(g)
+
+
 def calibrate(x: np.ndarray, dt: float, n_clusters: int = 100):
     """Full per-axis calibration: Allan deviation + parameter fit.
     x (N,) or (N, 3).  Returns dict (per-axis lists when 3 axes):

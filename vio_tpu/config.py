@@ -57,6 +57,12 @@ class VioConfig:
                                      # before IMU pairing (runner.py).
     outlier_reproj_px: float = 3.0   # post-solve feature rejection gate
                                      # (full VINS-Mono removeOutlier); 0 = off
+    min_excitation: float = 0.0      # init IMU-observability gate: std of
+                                     # per-frame delta_v/dt must exceed this
+                                     # (estimator.cpp:243-270 computes the
+                                     # same statistic against 0.25 but has
+                                     # its early-return commented out; 0.0
+                                     # reproduces that warn-only behavior)
     prior_forgetting: float = 1.0    # per-frame information decay on the
                                      # marginalization prior (covariance
                                      # inflation); 1.0 = reference behavior.

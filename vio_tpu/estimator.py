@@ -86,8 +86,52 @@ class IntervalBuffer:
             [2 * (x * z - w_ * y), 2 * (y * z + w_ * x), 1 - 2 * (x * x + y * y)],
         ])
 
+    def delta_v(self, ba=None, bg=None):
+        """Host-side midpoint preintegrated velocity delta (body frame of
+        the interval start) and total dt — the pre_integration->delta_v /
+        sum_dt pair the reference's init excitation check consumes
+        (estimator.cpp:249-251).  Tiny buffers, plain numpy."""
+        ba = np.zeros(3) if ba is None else np.asarray(ba, np.float64)
+        bg = np.zeros(3) if bg is None else np.asarray(bg, np.float64)
+        q = np.array([0.0, 0.0, 0.0, 1.0])
+        v = np.zeros(3)
+        acc_prev, gyr_prev = self.acc0, self.gyr0
+        sum_dt = 0.0
+        for dt, acc, gyr in zip(self.dts, self.accs, self.gyrs):
+            R0 = _quat_to_mat_np(q)
+            un_acc_0 = R0 @ (acc_prev - ba)
+            w = 0.5 * (gyr_prev + gyr) - bg
+            half = 0.5 * w * dt
+            q = _quat_mul_np(q, np.concatenate([half, [1.0]]))
+            q /= np.linalg.norm(q)
+            un_acc_1 = _quat_to_mat_np(q) @ (acc - ba)
+            v = v + 0.5 * (un_acc_0 + un_acc_1) * dt
+            sum_dt += dt
+            acc_prev, gyr_prev = acc, gyr
+        return v, sum_dt
+
     def __len__(self):
         return len(self.dts)
+
+
+def _quat_mul_np(q1, q2):
+    x1, y1, z1, w1 = q1
+    x2, y2, z2, w2 = q2
+    return np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ])
+
+
+def _quat_to_mat_np(q):
+    x, y, z, w_ = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w_ * z), 2 * (x * z + w_ * y)],
+        [2 * (x * y + w_ * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w_ * x)],
+        [2 * (x * z - w_ * y), 2 * (y * z + w_ * x), 1 - 2 * (x * x + y * y)],
+    ])
 
 
 class FrameRec:
@@ -177,6 +221,7 @@ class Estimator:
         self.ex_calibrator = ExtrinsicRotationCalibrator(self.W)
         self.initial_timestamp = 0.0
         self._init_align_rejects = 0
+        self.last_excitation = 0.0
         # telemetry survives failure resets (it documents them)
         self.telemetry: list[dict] = getattr(self, "telemetry", [])
 
@@ -295,6 +340,24 @@ class Estimator:
     # ------------------------------------------------------------------
 
     def _initial_structure(self) -> bool:
+        # IMU observability check (estimator.cpp:243-270): RMS spread of
+        # per-interval mean specific force delta_v/dt across collected
+        # frames.  The reference computes this against 0.25 m/s^2 but its
+        # early-return is commented out; cfg.min_excitation > 0 turns the
+        # statistic into a real gate (0.0 = reference warn-only parity).
+        dvs, sdts = [], []
+        for rec in self.all_frames[1:]:
+            if rec.buf is not None and len(rec.buf) > 0:
+                dv, sdt = rec.buf.delta_v()
+                if sdt > 0:
+                    dvs.append(dv)
+                    sdts.append(sdt)
+        if len(dvs) >= 2:
+            self.last_excitation = alignment.excitation_std(
+                np.stack(dvs), np.asarray(sdts))
+            if self.last_excitation < self.cfg.min_excitation:
+                return False
+
         # build the SfM observation grid over window frames
         feats = list(self.fm.features.values())
         if len(feats) < 10:

@@ -21,6 +21,20 @@ import numpy as np
 from ..utils import lie
 
 
+def excitation_std(delta_vs, sum_dts) -> float:
+    """IMU-observability statistic for init gating: the RMS deviation of
+    the per-interval mean specific force ``delta_v / sum_dt`` around its
+    average (reference estimator.cpp:243-263 — "check imu observibility").
+    Under pure gravity (no motion) every interval yields the same vector,
+    so the statistic is ~sensor noise; the reference compares it to 0.25
+    m/s^2 (warn-only, its early-return is commented out)."""
+    delta_vs = np.asarray(delta_vs, np.float64)
+    sum_dts = np.asarray(sum_dts, np.float64)
+    tmp_g = delta_vs / sum_dts[:, None]
+    d = tmp_g - tmp_g.mean(axis=0)
+    return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+
+
 def solve_gyroscope_bias(R, delta_q, dq_dbg):
     """LS gyro bias from SfM-vs-preintegrated rotation
     (initial_aligment.cpp:3-37).

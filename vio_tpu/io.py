@@ -62,6 +62,32 @@ def load_euroc(seq_dir: str) -> EurocData:
                      cam_files=cam_files, gt_t=gt_t, gt_p=gt_p, gt_q=gt_q)
 
 
+def load_imu_txt(path: str):
+    """Load a whitespace-separated raw IMU stream
+    ``timestamp_ns gx gy gz ax ay az`` — the file format the reference's
+    EuRoC driver replays (run_euroc.cpp:26-60, PubImuData over
+    MH_05_imu0.txt).  Returns (t_s (N,), acc (N,3), gyr (N,3))."""
+    raw = np.loadtxt(path)
+    t = raw[:, 0] * 1e-9
+    gyr = raw[:, 1:4]
+    acc = raw[:, 4:7]
+    return t, acc, gyr
+
+
+def load_cam_stamps_txt(path: str):
+    """Load a ``timestamp_ns filename`` camera index (run_euroc.cpp:63-91,
+    MH_05_cam0.txt).  Returns (t_s (M,), filenames list)."""
+    ts, names = [], []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            ts.append(float(parts[0]) * 1e-9)
+            names.append(parts[1] if len(parts) > 1 else "")
+    return np.asarray(ts), names
+
+
 def load_image(path: str) -> np.ndarray:
     """Load one grayscale frame as float32 (H, W) in [0, 255].  EuRoC ships
     8-bit PNGs (decoded via PIL); `.npy` arrays are accepted for synthetic
