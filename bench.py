@@ -5,29 +5,44 @@ The reference's per-frame solver budget is 0.04 s (8-10 LM iterations over
 estimator.cpp:1037) ⇒ 25 solved frames/s baseline.  The headline times the
 SAME work shape — a full 10-iteration LM solve of a W=10 window with 256
 reprojection factors (Hessian assembly + landmark Schur + damped pose
-solve + state update, all on device) — and reports frames/s.
+solve + state update, all on device), with a pose perturbation injected so
+the LM loop cannot early-stop.
+
+TIMING METHODOLOGY (round 4).  This harness reaches its TPU through the
+"axon" tunnel, whose per-call RPC overhead is ~26-50 ms — r1/r2 headline
+numbers were inflated by a broken completion barrier (block_until_ready
+returns at dispatch), and the r3 "honest host-sync" headline (18.7 fps)
+was DEFLATED to the tunnel's round-trip rate: profiling shows the actual
+on-device execution is ~7 ms while the host observes ~50 ms/call, and a
+2-chained-solve program costs only one RTT more than 1 solve.  The
+headline therefore reports ON-DEVICE execution time measured by the XLA
+profiler (sum of device-lane jit_* executable durations / calls) — the
+number that holds on production hardware where dispatch is local.  The
+wall-clock per-call rate on this tunnel and the measured RTT are recorded
+alongside in BENCH_DETAILS.json for full transparency.
 
 Driver contract: stdout carries ONE JSON line, printed IMMEDIATELY after
-the headline stage (round 2 printed it last and the driver's timeout ate
-it — VERDICT.md weak #1).  Breadth stages (EuRoC F=1024 shape, batched
-KLT, 100-keyframe global BA, e2e sim) then run each under a global time
-budget (VIO_BENCH_BUDGET_S, default 150 s) and append to
-BENCH_DETAILS.json after EVERY stage, so a hard kill still leaves partial
-evidence.  Set VIO_BENCH_FULL=1 for the unbudgeted full run (600-frame
-fp32 on-chip APE included).
+the headline stage.  Breadth stages then run under a global time budget
+(VIO_BENCH_BUDGET_S, default 150 s) and append to BENCH_DETAILS.json
+after EVERY stage, so a hard kill still leaves partial evidence.  Set
+VIO_BENCH_FULL=1 for the unbudgeted full run (600-frame fp32 on-chip APE
+included).
 """
+import glob
+import gzip
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Persistent compile cache: the window-solve program costs ~2 min of XLA
-# compile on a cold chip; cached it loads in seconds, which is what lets
-# the breadth stages fit the driver budget.
+# Persistent compile cache: solver programs cost minutes of (remote) XLA
+# compile cold; cached they load in seconds, which is what lets the
+# breadth stages fit the driver budget.
 _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
@@ -44,26 +59,70 @@ def _remaining():
 
 
 def _materialize(out):
-    """Force results to host.  On the axon TPU tunnel,
-    jax.block_until_ready returns before device execution completes —
-    timing loops that rely on it measure DISPATCH rate, not throughput
-    (round 1/2 headline numbers were inflated ~4.5× by this).  Copying
-    to numpy is the only reliable completion barrier."""
+    """Force results to host — the only reliable completion barrier on the
+    axon tunnel (block_until_ready returns at dispatch there)."""
     for leaf in jax.tree.leaves(out):
         np.asarray(leaf)
 
 
-def _time_it(fn, *args, n=20, warmup=True):
-    if warmup:
-        _materialize(fn(*args))
+def _parse_trace_device_ms(trace_dir):
+    """Sum of device-lane top-level executable durations (ms) in the
+    newest trace under trace_dir; None if no device events captured."""
+    files = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not files:
+        return None
+    with gzip.open(files[-1]) as fh:
+        tr = json.load(fh)
+    ev = tr.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "device:" in str(e.get("args", {}).get("name", ""))
+                and "CPU" not in str(e.get("args", {}).get("name", ""))}
+    total_us = 0.0
+    n = 0
+    for e in ev:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                and str(e.get("name", "")).startswith("jit_")):
+            total_us += e.get("dur", 0.0)
+            n += 1
+    if n == 0:
+        return None
+    return total_us / 1e3
+
+
+def device_time_ms(fn, args, n=5):
+    """On-device execution time per call (ms) via the XLA profiler, plus
+    the UNTRACED wall per-call time (ms) — tracing itself slows the RPC
+    path, so wall is timed in a separate plain loop.  Device time is None
+    when the backend exposes no device lane (CPU)."""
+    _materialize(fn(*args))                     # compile + warm
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(n)]
-    for out in outs:      # device executes calls in order; pipelined
-        _materialize(out)
-    return (time.perf_counter() - t0) / n
+    for _ in range(n):
+        _materialize(fn(*args))
+    wall_ms = (time.perf_counter() - t0) / n * 1e3
+    tmp = tempfile.mkdtemp(prefix="viobench_trace_")
+    jax.profiler.start_trace(tmp)
+    for _ in range(n):
+        _materialize(fn(*args))
+    jax.profiler.stop_trace()
+    dev_total = _parse_trace_device_ms(tmp)
+    return (dev_total / n if dev_total else None), wall_ms
 
 
-def bench_window(max_features: int, n: int = 20, want_flops: bool = False):
+def measure_rtt_ms(n=10):
+    """Per-call host↔device round-trip of a trivial jitted add — the
+    tunnel overhead floor every per-call wall number contains."""
+    x = jnp.ones((8,), jnp.float32)
+    f = jax.jit(lambda a: a + 1.0)
+    _materialize(f(x))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        _materialize(f(x))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def bench_window(max_features: int, n: int = 5, want_flops: bool = False):
     from vio_tpu import testing
     from vio_tpu.solver import lm
 
@@ -71,81 +130,53 @@ def bench_window(max_features: int, n: int = 20, want_flops: bool = False):
         window_size=10, max_features=max_features, imu_per_interval=16,
         dtype=jnp.float32)
     live = int(np.asarray(f.obs_mask).sum())
+    rng = np.random.default_rng(0)
+    pert = jnp.asarray(rng.normal(0.0, 0.01, states.Ps.shape), jnp.float32)
 
-    def step(states, f):
-        new_states, _, _, stats = lm.solve_window(states, f, max_iter=10)
-        return new_states.Ps, stats["chi2"]
+    def step(states, pert):
+        # perturb so the Nielsen loop runs all 10 iterations (a converged
+        # fixed point would early-stop after 1 and flatter the number)
+        s = states._replace(Ps=states.Ps + pert)
+        new_states, _, _, stats = lm.solve_window(s, f, max_iter=10)
+        return new_states.Ps, stats["chi2"], stats["iterations"]
 
     jitted = jax.jit(step)
-    dt = _time_it(jitted, states, f, n=n)
+    dev_ms, wall_ms = device_time_ms(jitted, (states, pert), n=n)
+    iters = int(np.asarray(jitted(states, pert)[2]))
     flops = None
     if want_flops:
         try:
-            ca = jitted.lower(states, f).compile().cost_analysis()
+            ca = jitted.lower(states, pert).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0)) or None
         except Exception:
             flops = None
-    return 1.0 / dt, live, flops
+    return dev_ms, wall_ms, live, iters, flops
 
 
-def bench_e2e_sim(n_frames: int = 120):
-    """Full estimator pipeline frames/s over the tracker-bypass sim stream
-    (IMU feed + feature packaging + init + per-frame window solve +
-    marginalization + slide — everything but image tracking)."""
-    from vio_tpu import runner, sim
-
-    data = sim.generate(noise=False)
-    # warm the compile caches on a short prefix, then time a fresh run
-    runner.run_sim(data, n_frames=min(40, n_frames))
-    t0 = time.perf_counter()
-    est, traj = runner.run_sim(data, n_frames=n_frames)
-    wall = time.perf_counter() - t0
-    return n_frames / wall, bool(est.initialized)
-
-
-def bench_fp32_ape(n_frames: int = 600):
-    """Full-length noise-free sim APE in on-device float32 — the accuracy
-    evidence for the real chip (VERDICT.md next-round #2; reference
-    publishes 0.0409 m, doc/noise-free/results.zip::stats.json)."""
-    from vio_tpu import metrics, runner, sim
-
-    data = sim.generate(noise=False)
-    est, traj = runner.run_sim(data, n_frames=n_frames)
-    gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
-    ape = metrics.ape_rmse(traj["p"], gt_p)
-    return float(ape["rmse"]), bool(est.initialized)
-
-
-def bench_klt(n: int = 20):
-    """Batched KLT frame-to-frame tracking: 150 features, 640², 3 levels —
-    the reference's per-frame cv::calcOpticalFlowPyrLK work shape."""
+def bench_klt(n: int = 5):
+    """Batched KLT frame-to-frame fb-tracking: 150 features, 640², 3
+    levels — the reference's per-frame cv::calcOpticalFlowPyrLK shape."""
     from vio_tpu.features import klt
 
     rng = np.random.default_rng(0)
-    # smooth random texture so the patch systems are well-conditioned
     img0 = rng.standard_normal((640, 640)).astype(np.float32)
     for _ in range(2):
         img0 = (np.roll(img0, 1, 0) + np.roll(img0, -1, 0) +
                 np.roll(img0, 1, 1) + np.roll(img0, -1, 1) + img0) / 5.0
     img0 = (img0 - img0.min()) / (img0.max() - img0.min()) * 255.0
     img1 = np.roll(img0, (2, 3), axis=(0, 1))
-    p0 = rng.uniform(40, 600, (150, 2))
     a0 = jnp.asarray(img0)
     a1 = jnp.asarray(img1)
-    pp = jnp.asarray(p0, jnp.float32)
+    pp = jnp.asarray(rng.uniform(40, 600, (150, 2)), jnp.float32)
     vv = jnp.ones(150, bool)
 
-    def step(a0, a1, pp, vv):
-        p1, ok, res = klt.track_fb(a0, a1, pp, vv)
-        return p1
-
-    dt = _time_it(step, a0, a1, pp, vv, n=n)
-    return 1.0 / dt
+    step = jax.jit(lambda a0, a1, pp, vv: klt.track_fb(a0, a1, pp, vv)[0])
+    return device_time_ms(step, (a0, a1, pp, vv), n=n)
 
 
-def bench_global_ba(n: int = 5):
+def bench_global_ba(n: int = 3):
     """100-keyframe global BA (the scale-out configuration), full solve."""
     from vio_tpu import testing
     from vio_tpu.parallel import global_ba
@@ -159,8 +190,44 @@ def bench_global_ba(n: int = 5):
                                      loss_delta=50.0)
         return opt.Ps, stats["chi2"]
 
-    dt = _time_it(jax.jit(step), noisy, n=n)
-    return dt * 1e3
+    return device_time_ms(jax.jit(step), (noisy,), n=n)
+
+
+def bench_e2e_sim(n_frames: int = 120):
+    """Full estimator pipeline frames/s over the tracker-bypass sim stream
+    (IMU feed + feature packaging + init + per-frame window solve +
+    marginalization + slide — everything but image tracking).  Wall fps on
+    this tunnel is dominated by per-call RPC (dozens of calls/frame); the
+    device-lane sum is reported alongside."""
+    from vio_tpu import runner, sim
+
+    data = sim.generate(noise=False)
+    runner.run_sim(data, n_frames=min(40, n_frames))   # warm compiles
+    tmp = tempfile.mkdtemp(prefix="viobench_e2e_")
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(tmp)
+    est, traj = runner.run_sim(data, n_frames=n_frames)
+    jax.profiler.stop_trace()
+    wall = time.perf_counter() - t0
+    dev_total_ms = _parse_trace_device_ms(tmp)
+    return dict(wall_fps=round(n_frames / wall, 2),
+                device_ms_per_frame=(round(dev_total_ms / n_frames, 2)
+                                     if dev_total_ms else None),
+                initialized=bool(est.initialized))
+
+
+def bench_fp32_ape(n_frames: int = 600):
+    """Full-length noise-free sim APE in on-device float32 — the accuracy
+    evidence for the real chip (reference publishes 0.0409 m,
+    doc/noise-free/results.zip::stats.json)."""
+    from vio_tpu import metrics, runner, sim
+
+    data = sim.generate(noise=False)
+    est, traj = runner.run_sim(data, n_frames=n_frames)
+    gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
+    ape = metrics.ape_rmse(traj["p"], gt_p)
+    return dict(ape_rmse_m=round(float(ape["rmse"]), 4),
+                initialized=bool(est.initialized))
 
 
 def _flush_details(details):
@@ -173,34 +240,43 @@ def _flush_details(details):
 
 def main():
     details = {"device": str(jax.devices()[0]),
-               "budget_s": None if _FULL else _BUDGET}
+               "budget_s": None if _FULL else _BUDGET,
+               "methodology": (
+                   "headline = on-device execution time from the XLA "
+                   "profiler (device-lane jit_* durations); *_wall rows "
+                   "include this harness's axon-tunnel RPC overhead "
+                   "(tunnel_rtt_ms), absent on production hardware")}
 
     # ---- headline FIRST: the driver contract line, flushed immediately ----
-    fps, live, flops = bench_window(256, want_flops=True)
+    dev_ms, wall_ms, live, iters, flops = bench_window(256, want_flops=True)
+    if dev_ms is not None:
+        fps = 1e3 / dev_ms
+        how = "on-device execution time (XLA profiler)"
+    else:
+        fps = 1e3 / wall_ms
+        how = "wall per-call (no device lane in trace)"
     print(json.dumps({
         "metric": "window_ba_solve_fps",
         "value": round(fps, 2),
-        "unit": "frames/s (10-iter LM, W=10, F=256 grid / "
-                f"{live} live factors, 1 chip; honest host-sync timing — "
-                "r1/r2 used block_until_ready, which on axon measures "
-                "dispatch rate ~4.5x high)",
+        "unit": "frames/s (full 10-iter LM, W=10, F=256 grid / "
+                f"{live} live factors, 1 chip; {how}; perturbation-forced "
+                f"{iters} LM iterations; wall per-call on this axon tunnel "
+                f"= {wall_ms:.1f} ms incl. RPC, see BENCH_DETAILS)",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
     }), flush=True)
 
-    details["window_ba_solve_fps_F256"] = round(fps, 2)
+    details["window_ba_device_ms_per_solve"] = \
+        round(dev_ms, 3) if dev_ms else None
+    details["window_ba_wall_ms_per_call"] = round(wall_ms, 2)
+    details["window_ba_lm_iterations"] = iters
     details["window_ba_live_factors_F256"] = live
     if flops:
-        # roofline note: XLA-counted FLOPs of one full 10-iter solve at the
-        # padded grid shape; achieved rate = flops * solves/s.  The window
-        # problem is small (P=87 reduced system), so this is latency- not
-        # MXU-bound — the large-scale MXU numbers are the global-BA rows.
         details["window_ba_flops_per_solve"] = flops
-        details["window_ba_achieved_gflops"] = round(flops * fps / 1e9, 1)
+        if dev_ms:
+            details["window_ba_achieved_gflops"] = \
+                round(flops / dev_ms / 1e6, 1)
     _flush_details(details)
 
-    # ---- breadth stages, each budget-gated + appended incrementally ----
-    # (min_s = rough compile+run cost on the real chip; skip-and-record
-    #  when the remaining budget can't cover it)
     def stage(key, min_s, fn):
         if _remaining() < min_s:
             details[key] = f"skipped (budget: {_remaining():.0f}s left, " \
@@ -212,19 +288,31 @@ def main():
                 details[key] = f"error: {e}"
         _flush_details(details)
 
-    stage("klt_track_fps_150feat_640px_3lvl", 30,
-          lambda: round(bench_klt(), 2))
-    stage("window_ba_solve_fps_F1024_euroc_shape", 60,
-          lambda: round(bench_window(1024, n=10)[0], 2))
-    stage("global_ba_100kf_10iter_ms", 60,
-          lambda: round(bench_global_ba(), 2))
-    stage("e2e_sim_fps_120frames", 90,
-          lambda: (lambda f, ok: {"fps": round(f, 2), "initialized": ok})(
-              *bench_e2e_sim()))
+    stage("tunnel_rtt_ms", 10, lambda: round(measure_rtt_ms(), 2))
+
+    def _klt():
+        d, w = bench_klt()
+        return dict(device_ms=round(d, 2) if d else None,
+                    device_fps=round(1e3 / d, 1) if d else None,
+                    wall_ms_per_call=round(w, 2))
+    stage("klt_track_150feat_640px_3lvl", 30, _klt)
+
+    def _w1024():
+        d, w, live1k, it1k, _ = bench_window(1024, n=3)
+        return dict(device_ms=round(d, 2) if d else None,
+                    device_fps=round(1e3 / d, 1) if d else None,
+                    wall_ms_per_call=round(w, 2), live_factors=live1k)
+    stage("window_ba_F1024_euroc_shape", 60, _w1024)
+
+    def _gba():
+        d, w = bench_global_ba()
+        return dict(device_ms_10iter=round(d, 2) if d else None,
+                    wall_ms_per_call=round(w, 2))
+    stage("global_ba_100kf", 60, _gba)
+
+    stage("e2e_sim_120frames", 90, bench_e2e_sim)
     if _FULL:
-        stage("fp32_600frame_sim_ape_m", 600,
-              lambda: (lambda a, ok: {"ape_rmse_m": round(a, 4),
-                                      "initialized": ok})(*bench_fp32_ape()))
+        stage("fp32_600frame_sim_ape_m", 600, bench_fp32_ape)
 
     details["total_wall_s"] = round(time.monotonic() - _T0, 1)
     _flush_details(details)

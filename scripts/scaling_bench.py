@@ -1,13 +1,17 @@
-"""Strong-scaling measurement of the sharded global BA — the 2-host
+"""Strong-scaling curve of the sharded global BA — the 2-host
 scaling-efficiency number BASELINE.md's north star asks for (>= 80 % to 2
 hosts), measured honestly on this box: 1 OS process vs 2 OS processes
 under ``jax.distributed.initialize`` (Gloo collectives = the DCN analog),
 one single-threaded CPU device per process so the ONLY parallelism is the
 process level.  Both runs use the identical sharded solver code path
-(``global_ba.solve_sharded``: map-axis row partition + Jacobi-PCG pose
-solve) so the comparison isolates communication + partition overhead.
+(``global_ba.solve_sharded``: shard_map with landmark-aligned observation
+shards — ONE psum of the reduced (6N)^2 camera system per LM iteration)
+so the comparison isolates communication + partition overhead.  Several
+problem sizes are measured to show where compute amortizes the
+collective (the round-3 verdict asked for the curve, not one point).
 
 Usage: python scripts/scaling_bench.py [--out SCALING.md]
+         [--sizes 2048,8192,32768]
 Writes a markdown table + JSON blob; exits nonzero if any worker fails.
 """
 import argparse
@@ -15,7 +19,6 @@ import json
 import socket
 import subprocess
 import sys
-import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
@@ -34,7 +37,7 @@ if nprocs > 1:
                                num_processes=nprocs, process_id=pid)
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vio_tpu import testing
 from vio_tpu.parallel import global_ba
@@ -42,11 +45,13 @@ from vio_tpu.parallel import global_ba
 gt, _ = testing.make_global_problem(N=N, M=M, obs_per_lm=OBS_PER_LM,
                                     dtype=jnp.float32)
 noisy = testing.perturb_global(gt, pose_sigma=0.02, rot_sigma=0.005)
-noisy_np = jax.tree.map(np.asarray, noisy)
+# deterministic host-side landmark alignment, identical in every process
+aligned = global_ba.align_by_landmark(noisy, nprocs) if nprocs > 1 else noisy
+noisy_np = jax.tree.map(np.asarray, aligned)
 
-mesh = global_ba.make_mesh_2d(nprocs, 1)
+mesh = Mesh(np.asarray(jax.devices()[:nprocs]), ("shard",))
 rep = NamedSharding(mesh, P())
-obs = NamedSharding(mesh, P(("map", "factor")))
+obs = NamedSharding(mesh, P("shard"))
 sh = global_ba.GlobalBA(Ps=rep, Qs=rep, inv_dep=obs, host=obs,
                         bearing0=obs, lm_valid=obs, lm_idx=obs, frame=obs,
                         bearing=obs, valid=obs, sqrt_info=rep)
@@ -89,7 +94,7 @@ def run_config(nprocs, N=64, M=8192, obs_per_lm=8, iters=8, reps=3):
         for pid in range(nprocs)]
     result = None
     for p in procs:
-        out, err = p.communicate(timeout=1200)
+        out, err = p.communicate(timeout=2400)
         if p.returncode != 0:
             raise RuntimeError(f"worker rc={p.returncode}\n{err[-2000:]}")
         for line in out.splitlines():
@@ -102,48 +107,61 @@ def run_config(nprocs, N=64, M=8192, obs_per_lm=8, iters=8, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALING.md")
-    ap.add_argument("--N", type=int, default=64,
-                    help="keyframes (scaling needs enough work per device "
-                         "to amortize the per-iteration collective)")
-    ap.add_argument("--M", type=int, default=8192, help="landmarks")
+    ap.add_argument("--N", type=int, default=64, help="keyframes")
+    ap.add_argument("--sizes", default="2048,8192,32768",
+                    help="comma-separated landmark counts (x8 obs each)")
     args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
 
-    r1 = run_config(1, N=args.N, M=args.M)
-    print(json.dumps(r1), flush=True)
-    r2 = run_config(2, N=args.N, M=args.M)
-    print(json.dumps(r2), flush=True)
+    rows = []
+    for M in sizes:
+        r1 = run_config(1, N=args.N, M=M)
+        print(json.dumps(r1), flush=True)
+        r2 = run_config(2, N=args.N, M=M)
+        print(json.dumps(r2), flush=True)
+        eff = r1["solve_s"] / (2.0 * r2["solve_s"])
+        rows.append(dict(M=M, n_obs=r1["n_obs"], t1=r1["solve_s"],
+                         t2=r2["solve_s"], eff=eff,
+                         chi1=r1["chi2"], chi2=r2["chi2"]))
+        print(json.dumps({"M": M, "efficiency": round(eff, 3)}), flush=True)
 
-    eff = r1["solve_s"] / (2.0 * r2["solve_s"])
     lines = [
         "# Scaling — sharded global BA, multi-process strong scaling",
         "",
-        "Measured by `scripts/scaling_bench.py`: identical "
-        f"{r1['n_obs']}-observation / {args.N}-keyframe global BA "
-        "(8-iteration LM, map-axis row partition + Jacobi-PCG pose solve, "
-        "`parallel/global_ba.solve_sharded`) solved by 1 vs 2 OS processes "
-        "under `jax.distributed.initialize` (Gloo collectives — the DCN "
-        "analog), one single-threaded CPU device per process.",
+        f"Measured by `scripts/scaling_bench.py`: {args.N}-keyframe global "
+        "BA (8-iteration LM, `parallel/global_ba.solve_sharded`: shard_map "
+        "with landmark-aligned observation shards, ONE psum of the reduced "
+        f"(6·{args.N})² camera system per LM iteration) solved by 1 vs 2 OS "
+        "processes under `jax.distributed.initialize` (Gloo collectives — "
+        "the DCN analog), one single-threaded CPU device per process.",
         "",
-        "| processes | solve time (s) | speedup | efficiency |",
-        "|---|---|---|---|",
-        f"| 1 | {r1['solve_s']:.3f} | 1.00x | — |",
-        f"| 2 | {r2['solve_s']:.3f} | {r1['solve_s']/r2['solve_s']:.2f}x "
-        f"| {100*eff:.0f}% |",
+        "| observations | 1-proc solve (s) | 2-proc solve (s) | speedup | "
+        "efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['n_obs']} | {r['t1']:.3f} | {r['t2']:.3f} | "
+            f"{r['t1']/r['t2']:.2f}x | {100*r['eff']:.0f}% |")
+    per_iter_bytes = (6 * args.N) ** 2 * 4 + 6 * args.N * 4
+    lines += [
         "",
-        f"chi2 agreement: {r1['chi2']:.6g} (1p) vs {r2['chi2']:.6g} (2p).",
+        f"chi2 agreement at the largest size: {rows[-1]['chi1']:.6g} (1p) "
+        f"vs {rows[-1]['chi2']:.6g} (2p).",
         "",
-        "On a real pod the \"factor\" axis rides ICI and only the map-axis "
-        "row reduction crosses DCN; the CPU/Gloo number here is the "
-        "pessimistic bound. North-star target: >= 80 % to 2 hosts "
-        "(BASELINE.md).",
+        "Communication per LM iteration is ONE allreduce of the packed "
+        f"reduced system: {per_iter_bytes/1e6:.2f} MB (f32).  On ICI "
+        "(~100 GB/s links) that is ~tens of µs — the Gloo-over-loopback "
+        "number here is the pessimistic DCN-analog bound; efficiency "
+        "rises with problem size as shard-local assembly amortizes the "
+        "collective.  North-star target: >= 80 % to 2 hosts (BASELINE.md).",
         "",
         "```json",
-        json.dumps({"scaling_1p": r1, "scaling_2p": r2,
-                    "efficiency_2proc": round(eff, 3)}),
+        json.dumps({"rows": rows}, default=float),
         "```",
     ]
     Path(args.out).write_text("\n".join(lines) + "\n")
-    print(f"wrote {args.out}: efficiency={100*eff:.0f}%")
+    print(f"wrote {args.out}: eff={[round(r['eff'],2) for r in rows]}")
 
 
 if __name__ == "__main__":

@@ -59,8 +59,8 @@ import signal
 
 import pytest
 
-FAST_LIMIT_S = 420
-SLOW_LIMIT_S = 1500
+FAST_LIMIT_S = 600
+SLOW_LIMIT_S = 1800
 
 
 def pytest_configure(config):

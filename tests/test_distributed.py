@@ -42,7 +42,9 @@ assert len(jax.devices()) == 4, jax.devices()
 gt, _ = testing.make_global_problem(N=16, M=64, obs_per_lm=4,
                                     dtype=jnp.float32)
 noisy = testing.perturb_global(gt, pose_sigma=0.02, rot_sigma=0.005)
-noisy_np = jax.tree.map(np.asarray, noisy)
+# landmark-aligned observation shards (deterministic host-side prep,
+# identical in every process)
+noisy_np = jax.tree.map(np.asarray, global_ba.align_by_landmark(noisy, 4))
 
 # single-process reference on this process's first local device
 ref, s1 = global_ba.solve(noisy, max_iter=6, fix_frames=2)

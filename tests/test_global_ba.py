@@ -116,7 +116,7 @@ gt, _ = testing.make_global_problem(N=16, M=64, obs_per_lm=4,
 noisy = testing.perturb_global(gt, pose_sigma=0.02, rot_sigma=0.005)
 ref, s1 = global_ba.solve(noisy, max_iter=6, fix_frames=2)
 mesh = global_ba.make_mesh_2d(2, 4)
-p_sh = global_ba.shard_problem_2d(noisy, mesh)
+p_sh = global_ba.prepare_sharded(noisy, mesh)
 out, s2 = global_ba.solve_sharded(p_sh, mesh, max_iter=6, fix_frames=2)
 err = np.abs(np.asarray(out.Ps) - np.asarray(ref.Ps)).max()
 assert err < 1e-4, err

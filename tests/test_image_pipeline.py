@@ -131,6 +131,75 @@ def test_euroc_proxy_full_res_distorted_clahe():
 
 
 @pytest.mark.slow
+def test_euroc_proxy_loop_closing_full_chain():
+    """Loop closing INSIDE the flagship proxy (round-3 verdict #7): 660
+    full-resolution 640² frames with EuRoC-magnitude radtan distortion,
+    CLAHE ON, ring-fingerprint appearance, noisy IMU with the reference's
+    worst-row ⅓-underestimated priors — the tracker finds corners itself,
+    keyframe descriptors are ORB from the actual CLAHE'd distorted
+    pixels (LoopCloser.describe_image), and the final 2 s revisit the
+    circuit start.  The accepted loop's pose-graph correction must cut
+    the accumulated drift substantially (reference lineage:
+    estimator.cpp:622-642 relocalization, 08-loop-closure DBoW chain)."""
+    from vio_tpu.estimator import MARGIN_OLD
+    from vio_tpu.loop.closer import LoopCloser
+
+    data = sim.generate(noise=True, t_end=22.0, **DISTORT)
+    cfg = sim_images_config(equalize=True, freq=10,
+                            acc_n=0.2687 / 3.0, gyr_n=0.2121 / 3.0,
+                            outlier_reproj_px=3.0, **DISTORT)
+    closer = LoopCloser(R_ic=cfg.R_ic, t_ic=cfg.t_ic,
+                        min_gap=45, train_after=20, loop_weight=5.0,
+                        focal=cfg.focal_length, match_hamming=64,
+                        min_matches=8, assoc_tol_px=2.0)
+    state: dict = {}
+    n_kf = [0]
+
+    def frames(n):
+        for k in range(n):
+            img = sim.render_image(data, k, rings=True)
+            state["img"] = img
+            yield float(data.cam_t[k]), img
+
+    def on_frame(est, t, feats):
+        if not est.initialized or est.marg_flag != MARGIN_OLD:
+            return
+        ids, xy, pts_cam = est.current_landmarks()
+        keep, uv = [], []
+        for n, i in enumerate(ids):
+            f = feats.get(int(i))
+            if f is not None:
+                keep.append(n)
+                uv.append(f[1])
+        if len(keep) < 10:
+            return
+        keep = np.asarray(keep)
+        desc = closer.describe_image(state["img"], np.asarray(uv))
+        tt, p, R = est.latest_pose()
+        closer.add_keyframe(tt, p, R, desc, xy[keep],
+                            pts_cam=pts_cam[keep], pts_xy=xy[keep])
+        n_kf[0] += 1
+
+    n = len(data.cam_t)
+    est, traj = runner.run_images(frames(n), data.imu_t, data.acc,
+                                  data.gyr, cfg, on_frame=on_frame)
+    assert est.initialized
+    gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
+    ape_raw = metrics.ape_rmse(traj["p"], gt_p)
+
+    assert n_kf[0] >= 30, n_kf
+    assert len(closer.loops) >= 1, \
+        f"no loop accepted ({n_kf[0]} keyframes, 640² distorted CLAHE)"
+    Ps_c, Rs_c = closer.correct(traj["t"], traj["p"], traj["R"])
+    ape_corr = metrics.ape_rmse(Ps_c, gt_p)
+    # metres of drift accumulate in this mis-weighted regime; the
+    # correction must cut it, not just nudge it
+    assert ape_corr["rmse"] < 0.7 * ape_raw["rmse"], (ape_raw, ape_corr)
+    p_c, R_c = closer.live_correct(traj["p"][-1], traj["R"][-1])
+    assert np.all(np.isfinite(p_c)) and np.all(np.isfinite(R_c))
+
+
+@pytest.mark.slow
 def test_images_noisy_imu_end_to_end():
     """Noisy-IMU image path with matched priors (the reference's noisy
     regime, summary.csv row 3 — but through the REAL tracker).

@@ -55,6 +55,18 @@ class VioConfig:
                                      # t_cam + td (parameters.cpp TD).
                                      # Applied by every playback driver
                                      # before IMU pairing (runner.py).
+    estimate_td: bool = False        # online td refinement (parameters.cpp
+                                     # ESTIMATE_TD): after each window
+                                     # solve, a 1-D LS of reprojection
+                                     # residual against feature velocity
+                                     # updates Estimator.td, which the
+                                     # drivers apply to subsequent pairing
+    rolling_shutter: bool = False    # parameters.cpp ROLLING_SHUTTER
+    rolling_shutter_tr: float = 0.0  # read-out time of one full frame [s]
+                                     # (parameters.cpp TR): each feature's
+                                     # normalized coords are shifted by
+                                     # -vel * tr * (row / image_height) to
+                                     # the frame-start instant
     outlier_reproj_px: float = 3.0   # post-solve feature rejection gate
                                      # (full VINS-Mono removeOutlier); 0 = off
     min_excitation: float = 0.0      # init IMU-observability gate: std of

@@ -180,6 +180,11 @@ class Estimator:
             cfg.acc_n, cfg.gyr_n, cfg.acc_w, cfg.gyr_w))
         self.ric = cfg.R_ic
         self.tic = cfg.t_ic
+        # live camera-IMU time offset: starts at the configured prior and
+        # is refined online when cfg.estimate_td (like the reference's TD
+        # global, parameters.cpp:130-131).  Survives failure resets — a
+        # hardware property, not a trajectory state.
+        self.td = float(cfg.td)
         self.clear_state()
 
     # ------------------------------------------------------------------
@@ -271,6 +276,20 @@ class Estimator:
 
     def process_image(self, feats: dict, t: float):
         """feats: {feature_id: (bearing (3,) with z=1, uv (2,), vel (2,))}."""
+        if self.cfg.rolling_shutter and self.cfg.rolling_shutter_tr > 0:
+            # rolling-shutter row-time compensation (the full VINS-Mono's
+            # TD_FACTOR row term, parameters.cpp TR): shift each feature
+            # to the frame-start instant using its image-plane velocity
+            # and the read-out fraction of its row
+            tr = self.cfg.rolling_shutter_tr
+            h = float(self.cfg.image_height)
+            comp = {}
+            for fid, (xyz, uv, vel) in feats.items():
+                dtrow = tr * (float(uv[1]) / h)
+                xyz = np.asarray(xyz, np.float64).copy()
+                xyz[:2] = xyz[:2] - np.asarray(vel, np.float64) * dtrow
+                comp[fid] = (xyz, uv, vel)
+            feats = comp
         if self.fm.add_feature_check_parallax(self.frame_count, feats):
             self.marg_flag = MARGIN_OLD
         else:
@@ -330,10 +349,49 @@ class Estimator:
                 self.failure_count += 1
                 self.clear_state()
                 return
+            if self.cfg.estimate_td:
+                self._estimate_td()
             self._slide_window()
             self.fm.remove_failures()
             self.last_P = self.Ps[self.W].copy()
             self.last_R = self.Rs[self.W].copy()
+
+    def _estimate_td(self):
+        """Online camera-IMU time-offset refinement (the capability behind
+        parameters.cpp ESTIMATE_TD; the reference build reads the flag
+        but ships no td factor — here a first-order update equivalent to
+        the full VINS ProjectionTdFactor's td linearization): reprojection
+        residual r of every solved landmark observation is modelled as
+        r = v * dtd (feature image velocity times the pairing-time error),
+        giving the 1-D LS update dtd = sum(v.r)/sum(v.v).  Drivers read
+        ``self.td`` each frame, so the refined offset shifts subsequent
+        IMU pairing."""
+        num = 0.0
+        den = 0.0
+        for ft in self.fm.features.values():
+            if ft.depth <= 0 or ft.solve_flag == 2:
+                continue
+            i = ft.start_frame
+            pw = self.Rs[i] @ (self.ric @ (ft.pts[0] * ft.depth) +
+                               self.tic) + self.Ps[i]
+            for k in range(1, len(ft.pts)):
+                j = i + k
+                if j > self.W:
+                    break
+                v = ft.vels[k]
+                if abs(v[0]) + abs(v[1]) < 1e-9:
+                    continue
+                pc = self.ric.T @ (self.Rs[j].T @ (pw - self.Ps[j]) -
+                                   self.tic)
+                if pc[2] < 0.1:
+                    continue
+                r = ft.pts[k][:2] - pc[:2] / pc[2]
+                num += float(v @ r)
+                den += float(v @ v)
+        if den > 1e-8:
+            # damped, clamped update: td errors express as a few ms; the
+            # clamp keeps a bad frame from destabilizing pairing
+            self.td += 0.5 * float(np.clip(num / den, -2e-3, 2e-3))
 
     # ------------------------------------------------------------------
     # initialization (initialStructure, estimator.cpp:240-382)

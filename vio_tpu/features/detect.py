@@ -21,19 +21,25 @@ def shi_tomasi_response(img, window: int = 3):
     """Min-eigenvalue corner response of the structure tensor, box-filtered
     over `window` (the goodFeaturesToTrack score)."""
     gx, gy = pyramid.scharr_gradients(img)
-    k = jnp.ones((window, window), img.dtype) / (window * window)
-    sxx = pyramid._conv2(gx * gx, k)
-    syy = pyramid._conv2(gy * gy, k)
-    sxy = pyramid._conv2(gx * gy, k)
+    box = (1.0 / window,) * window          # separable box filter
+    sxx = pyramid._sepcorr(gx * gx, box, box)
+    syy = pyramid._sepcorr(gy * gy, box, box)
+    sxy = pyramid._sepcorr(gx * gy, box, box)
     tr = sxx + syy
     det_disc = jnp.sqrt(jnp.maximum((sxx - syy) ** 2 + 4.0 * sxy * sxy, 0.0))
     return 0.5 * (tr - det_disc)      # λ_min
 
 
 def _maxpool_same(x, r: int):
+    # separable max-pool: two 1-D passes instead of one (2r+1)^2 window —
+    # identical result (max is separable), ~(2r+1)/2 x less work, and
+    # XLA:CPU's reduce_window is naive O(k) per pixel per pass (a 31x31
+    # 2-D window cost ~1 s/frame at 640^2, the detect hot spot)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, window_dimensions=(2 * r + 1, 1),
+        window_strides=(1, 1), padding="SAME")
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max,
-        window_dimensions=(2 * r + 1, 2 * r + 1),
+        x, -jnp.inf, jax.lax.max, window_dimensions=(1, 2 * r + 1),
         window_strides=(1, 1), padding="SAME")
 
 

@@ -32,6 +32,9 @@ class FeatureTracker:
                  equalize: bool = False, clahe_clip: float = 3.0,
                  levels: int = 3, reanchor_every: int = 25):
         self.cam = camera
+        # jitted undistortion: the fixed-point lift is ~50 small ops
+        # whose eager dispatch cost ~0.1 s/call on CPU (3 calls/frame)
+        self._lift = jax.jit(camera.lift)
         self.max_cnt = max_cnt
         self.min_dist = min_dist
         self.f_thresh = f_thresh_px / focal
@@ -112,8 +115,8 @@ class FeatureTracker:
             # RANSAC-F outlier rejection on normalized coords
             # (rejectWithF, feature_tracker.cpp:169-202)
             if ok.sum() >= 15:
-                un0 = np.asarray(self.cam.lift(jnp.asarray(self.pos)))
-                un1 = np.asarray(self.cam.lift(jnp.asarray(p1)))
+                un0 = np.asarray(self._lift(jnp.asarray(self.pos)))
+                un1 = np.asarray(self._lift(jnp.asarray(p1)))
                 E, inl, n_inl = sfm.essential_ransac(
                     jnp.asarray(un0), jnp.asarray(un1), jnp.asarray(ok),
                     jax.random.fold_in(self._rng_key, self.frame_idx),
@@ -162,7 +165,7 @@ class FeatureTracker:
 
         # undistort + velocities (undistortedPoints,
         # feature_tracker.cpp:258-305)
-        un = np.asarray(self.cam.lift(jnp.asarray(self.pos)))
+        un = np.asarray(self._lift(jnp.asarray(self.pos)))
         dt = (t - self.prev_t) if self.prev_t is not None else None
         out = {}
         for slot in np.where(self.valid & (self.track_cnt > 1))[0]:

@@ -302,26 +302,288 @@ def shard_problem_2d(p: GlobalBA, mesh: Mesh) -> GlobalBA:
     return jax.tree.map(jax.device_put, p, sh)
 
 
+def align_by_landmark(p: GlobalBA, n_shards: int) -> GlobalBA:
+    """Regroup observations so every landmark's observations live on ONE
+    shard: landmarks are blocked contiguously (M/n_shards per shard) and
+    the observation stream is sorted by landmark then padded per shard to
+    a common length with masked rows.  This is what makes the landmark
+    Schur elimination shard-LOCAL in ``solve_sharded`` — the only
+    cross-device data is the reduced (6N)^2 camera system.
+
+    Host-side problem preparation (numpy); call once before
+    ``prepare_sharded``.  M must divide n_shards."""
+    M = int(p.inv_dep.shape[0])
+    assert M % n_shards == 0, (M, n_shards)
+    M_loc = M // n_shards
+    lm_idx = np.asarray(p.lm_idx)
+    frame = np.asarray(p.frame)
+    bearing = np.asarray(p.bearing)
+    valid = np.asarray(p.valid)
+
+    order = np.argsort(lm_idx, kind="stable")
+    lm_s, fr_s, be_s, va_s = (lm_idx[order], frame[order], bearing[order],
+                              valid[order])
+    shard_of = lm_s // M_loc
+    counts = np.bincount(shard_of, minlength=n_shards)
+    cap = int(((counts.max() + 7) // 8) * 8)
+
+    O_new = n_shards * cap
+    lm_n = np.zeros(O_new, np.int32)
+    fr_n = np.zeros(O_new, np.int32)
+    be_n = np.tile(np.array([0.0, 0.0, 1.0]), (O_new, 1))
+    va_n = np.zeros(O_new, bool)
+    host = np.asarray(p.host)
+    for s in range(n_shards):
+        rows = np.nonzero(shard_of == s)[0]
+        dst = slice(s * cap, s * cap + len(rows))
+        lm_n[dst] = lm_s[rows]
+        fr_n[dst] = fr_s[rows]
+        be_n[dst] = be_s[rows]
+        va_n[dst] = va_s[rows]
+        # padding rows: first landmark of the shard, host==frame → masked
+        pad = slice(s * cap + len(rows), (s + 1) * cap)
+        lm_n[pad] = s * M_loc
+        fr_n[pad] = host[s * M_loc]
+    dtype = p.bearing.dtype
+    return p._replace(lm_idx=jnp.asarray(lm_n), frame=jnp.asarray(fr_n),
+                      bearing=jnp.asarray(be_n, dtype),
+                      valid=jnp.asarray(va_n))
+
+
+def prepare_sharded(p: GlobalBA, mesh: Mesh) -> GlobalBA:
+    """align_by_landmark + device placement for ``solve_sharded``."""
+    aligned = align_by_landmark(p, int(mesh.devices.size))
+    return jax.tree.map(jax.device_put, aligned, _obs_shardings(p, mesh))
+
+
+def _obs_shardings(p: GlobalBA, mesh: Mesh):
+    axes = tuple(mesh.axis_names)
+    r = NamedSharding(mesh, P())
+    o = NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
+    return GlobalBA(Ps=r, Qs=r, inv_dep=o, host=o, bearing0=o, lm_valid=o,
+                    lm_idx=o, frame=o, bearing=o, valid=o, sqrt_info=r)
+
+
 def solve_sharded(p: GlobalBA, mesh: Mesh, max_iter: int = 20,
-                  fix_frames: int = 1, loss_delta: float = 1.0):
-    """Map-block sharded global BA (SURVEY.md §2.5 / §7.3 distributed
-    Schur): observations sharded over the whole mesh for assembly; the
-    assembled reduced-system rows constrained to "map" row blocks; the
-    damped pose solve runs Jacobi-PCG whose GEMV partial products meet in
-    one GSPMD psum per iteration.  Call with ``p`` already placed by
-    ``shard_problem_2d`` (or let GSPMD re-shard).  Identical math to
-    ``solve`` — tests assert exact-trajectory agreement."""
-    row = NamedSharding(mesh, P("map"))
-    row2 = NamedSharding(mesh, P("map", None))
-    rep = NamedSharding(mesh, P())
+                  fix_frames: int = 1, loss_delta: float = 1.0,
+                  use_pcg: bool = False):
+    """Distributed global BA via ``shard_map``: landmark-aligned
+    observation shards (``prepare_sharded``) make assembly AND the
+    landmark Schur elimination fully shard-local, so the only collective
+    is ONE psum of the reduced (6N)^2 camera system (+ scalar chi2/LM
+    bookkeeping) per LM iteration.  The damped pose solve is replicated
+    compute on every device (no communication); landmark back-substitution
+    and state update stay local.
 
-    def constrain(n: GlobalNormal) -> GlobalNormal:
-        c = jax.lax.with_sharding_constraint
-        return GlobalNormal(Hpp=c(n.Hpp, row2), bp=c(n.bp, row),
-                            Hpm=c(n.Hpm, row2), Hmm=c(n.Hmm, rep),
-                            bm=c(n.bm, rep), chi2=c(n.chi2, rep))
+    This replaces the round-3 GSPMD-constraint design that materialized
+    and re-sharded the dense (6N, M) pose-landmark coupling every
+    iteration (VERDICT.md r3 weak #3: 18% two-process efficiency —
+    collective traffic swamped compute).  Reference hot-spot lineage:
+    problem.cc:311-313,420,696 (MakeHessian accumulation + Schur).
 
-    fn = jax.jit(partial(_solve_impl, max_iter=max_iter,
-                         fix_frames=fix_frames, loss_delta=loss_delta,
-                         use_pcg=True, constrain=constrain))
+    Identical math to ``solve`` — tests assert trajectory agreement."""
+    from jax.experimental.shard_map import shard_map
+
+    axes = tuple(mesh.axis_names)
+    ax = axes if len(axes) > 1 else axes[0]
+    D = int(mesh.devices.size)
+    N = int(p.Ps.shape[0])
+    M = int(p.inv_dep.shape[0])
+    assert M % D == 0 and int(p.lm_idx.shape[0]) % D == 0, (M, D)
+    M_loc = M // D
+    P6 = 6 * N
+    dtype = p.Ps.dtype
+
+    rep = P()
+    osh = P(ax)
+    in_specs = GlobalBA(Ps=rep, Qs=rep, inv_dep=osh, host=osh,
+                        bearing0=osh, lm_valid=osh, lm_idx=osh, frame=osh,
+                        bearing=osh, valid=osh, sqrt_info=rep)
+    out_specs = (GlobalBA(Ps=rep, Qs=rep, inv_dep=osh, host=osh,
+                          bearing0=osh, lm_valid=osh, lm_idx=osh,
+                          frame=osh, bearing=osh, valid=osh, sqrt_info=rep),
+                 dict(chi2=rep, chi2_init=rep, iterations=rep, lam=rep))
+
+    free_pose = (jnp.arange(N) >= fix_frames)
+    fixed_diag = jnp.repeat(1.0 - free_pose.astype(dtype), 6)
+
+    def shard_ofs():
+        # flattened shard index over the mesh axes, row-major (matches the
+        # PartitionSpec axis-tuple flattening order)
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        return idx * M_loc
+
+    def assemble_local(p_loc, ofs):
+        """Per-shard partial normal equations.  Returns (Hpp_part (6N,6N),
+        bp_part (6N,), hpm (6N, M_loc), Hmm (M_loc,), bm (M_loc,),
+        chi_part ())."""
+        tic, qic = _identity_ext(dtype)
+        lm_loc = jnp.clip(p_loc.lm_idx - ofs, 0, M_loc - 1)
+        inv_dep = jnp.where(p_loc.lm_valid, p_loc.inv_dep, 1.0)
+
+        hi = p_loc.host[lm_loc]
+        d = inv_dep[lm_loc]
+        b0 = p_loc.bearing0[lm_loc]
+
+        def per_obs(d_, Pi, Qi, Pj, Qj, b0_, bj):
+            r = factors.reproj_residual(d_, Pi, Qi, Pj, Qj, tic, qic,
+                                        b0_, bj)
+            Jd, Jpi, Jpj, _ = factors.reproj_jacobians(
+                d_, Pi, Qi, Pj, Qj, tic, qic, b0_, bj)
+            return r, Jd, Jpi, Jpj
+
+        r, Jd, Jpi, Jpj = jax.vmap(per_obs)(
+            d, p_loc.Ps[hi], p_loc.Qs[hi], p_loc.Ps[p_loc.frame],
+            p_loc.Qs[p_loc.frame], b0, p_loc.bearing)
+
+        m = (p_loc.valid & p_loc.lm_valid[lm_loc] &
+             (hi != p_loc.frame)).astype(dtype)
+        s2 = p_loc.sqrt_info ** 2
+        e2 = s2 * jnp.sum(r * r, axis=-1)
+        rho0, rho1, rho2 = factors.cauchy_rho(e2, loss_delta)
+        w_err = p_loc.sqrt_info * r
+        guard = (rho1 + 2.0 * rho2 * e2 > 0.0).astype(dtype)
+        eye2 = jnp.eye(2, dtype=dtype)
+        rinfo = (rho1[..., None, None] * eye2 +
+                 (guard * 2.0 * rho2)[..., None, None] *
+                 (w_err[..., :, None] * w_err[..., None, :])) * s2
+        rinfo = rinfo * m[:, None, None]
+        chi = jnp.sum(jnp.where(m > 0, rho0, 0.0))
+
+        free_i = (hi >= fix_frames).astype(dtype)
+        free_j = (p_loc.frame >= fix_frames).astype(dtype)
+        Jpi_f = Jpi * free_i[:, None, None]
+        Jpj_f = Jpj * free_j[:, None, None]
+        Jd2 = Jd[..., 0]
+
+        WJi = jnp.einsum("ors,osa->ora", rinfo, Jpi_f)
+        WJj = jnp.einsum("ors,osa->ora", rinfo, Jpj_f)
+        WJd = jnp.einsum("ors,os->or", rinfo, Jd2)
+        info_r = (s2 * rho1[:, None] * m[:, None]) * r
+
+        ii = hi * N + hi
+        ij = hi * N + p_loc.frame
+        ji = p_loc.frame * N + hi
+        jj = p_loc.frame * N + p_loc.frame
+        blocks = jnp.concatenate([
+            jnp.einsum("ora,orb->oab", Jpi_f, WJi),
+            jnp.einsum("ora,orb->oab", Jpi_f, WJj),
+            jnp.einsum("ora,orb->oab", Jpj_f, WJi),
+            jnp.einsum("ora,orb->oab", Jpj_f, WJj)], axis=0)
+        segs = jnp.concatenate([ii, ij, ji, jj], axis=0)
+        Hpp = jax.ops.segment_sum(blocks, segs, num_segments=N * N) \
+            .reshape(N, N, 6, 6).transpose(0, 2, 1, 3).reshape(P6, P6)
+
+        bp = jax.ops.segment_sum(
+            jnp.concatenate([-jnp.einsum("ora,or->oa", Jpi_f, info_r),
+                             -jnp.einsum("ora,or->oa", Jpj_f, info_r)],
+                            axis=0),
+            jnp.concatenate([hi, p_loc.frame]),
+            num_segments=N).reshape(P6)
+
+        col_i = hi * M_loc + lm_loc
+        col_j = p_loc.frame * M_loc + lm_loc
+        hpm = jax.ops.segment_sum(
+            jnp.concatenate([jnp.einsum("ora,or->oa", Jpi_f, WJd),
+                             jnp.einsum("ora,or->oa", Jpj_f, WJd)], axis=0),
+            jnp.concatenate([col_i, col_j]), num_segments=N * M_loc) \
+            .reshape(N, M_loc, 6).transpose(0, 2, 1).reshape(P6, M_loc)
+
+        Hmm = jax.ops.segment_sum(jnp.einsum("or,or->o", Jd2, WJd),
+                                  lm_loc, num_segments=M_loc)
+        bm = jax.ops.segment_sum(-jnp.einsum("or,or->o", Jd2, info_r),
+                                 lm_loc, num_segments=M_loc)
+        return Hpp, bp, hpm, Hmm, bm, 0.5 * chi
+
+    def body_fn(p_loc: GlobalBA):
+        ofs = shard_ofs()
+
+        def schur_pieces(norm):
+            """One psum: the reduced camera system + rhs + chi2."""
+            Hpp, bp, hpm, Hmm, bm, chi = norm
+            Hmm_inv = jnp.where(Hmm > 1e-12,
+                                1.0 / jnp.maximum(Hmm, 1e-12), 0.0)
+            Hmm_inv = jnp.where(p_loc.lm_valid, Hmm_inv, 0.0)
+            tempH = hpm * Hmm_inv[None, :]
+            S_loc = Hpp - tempH @ hpm.T
+            rhs_loc = bp - tempH @ bm
+            packed = jnp.concatenate(
+                [S_loc, rhs_loc[:, None],
+                 jnp.full((P6, 1), chi / P6, dtype)], axis=1)
+            packed = jax.lax.psum(packed, ax)
+            S = packed[:, :P6] + jnp.diag(fixed_diag)
+            rhs = packed[:, P6]
+            chi_tot = jnp.sum(packed[:, P6 + 1])
+            return S, rhs, chi_tot, Hmm_inv
+
+        def damped_solve(S, rhs, lam):
+            Sd = S + lam * jnp.eye(P6, dtype=dtype)
+            if use_pcg:
+                dxp, _ = pcg.pcg_solve(Sd, rhs, rtol=1e-8)
+            else:
+                dxp = linsolve.spd_solve(Sd, rhs)
+            return dxp
+
+        def update(pl, dxp, dxm):
+            dmat = dxp.reshape(N, 6) * free_pose[:, None].astype(dtype)
+            Qs = lie.quat_normalize(jax.vmap(lie.quat_mul)(
+                pl.Qs, jax.vmap(lie.so3_exp_quat)(dmat[:, 3:6])))
+            inv_dep = jnp.maximum(pl.inv_dep + dxm, 1e-3)
+            return pl._replace(Ps=pl.Ps + dmat[:, 0:3], Qs=Qs,
+                               inv_dep=inv_dep)
+
+        norm0 = assemble_local(p_loc, ofs)
+        S0, rhs0, chi0, Hmm_inv0 = schur_pieces(norm0)
+        # lam0 parity with ``solve``: max |diag| of the PRE-Schur global
+        # Hpp (incl. the unit gauge diagonal) and the landmark diagonal
+        diag_pre = jax.lax.psum(jnp.diagonal(norm0[0]), ax) + fixed_diag
+        diag_max = jnp.maximum(jnp.max(jnp.abs(diag_pre)),
+                               jax.lax.pmax(jnp.max(jnp.abs(norm0[3])), ax))
+        lam0 = 1e-5 * jnp.minimum(diag_max, 5e10)
+
+        def cond(s):
+            return jnp.logical_and(~s[-1], s[-2] < max_iter)
+
+        def body(s):
+            (pl, S, rhs, chi, norm, Hmm_inv, lam, ni, it, stop) = s
+            dxp = damped_solve(S, rhs, lam)
+            _, bp, hpm, Hmm, bm, _ = norm
+            dxm = Hmm_inv * (bm - hpm.T @ dxp)
+            cand = update(pl, dxp, dxm)
+            norm_c = assemble_local(cand, ofs)
+            S_c, rhs_c, chi_c, Hmm_inv_c = schur_pieces(norm_c)
+
+            # scale parity with ``solve``: dx^T (lam dx + b) with the
+            # PRE-Schur gradient b = (bp, bm); bp is a shard partial so
+            # dxp^T bp rides the same psum as the landmark terms
+            dot_sh = jax.lax.psum(
+                jnp.dot(dxp, bp) + jnp.dot(dxm, lam * dxm + bm), ax)
+            scale = 0.5 * (lam * jnp.dot(dxp, dxp) + dot_sh) + 1e-9
+            rho = (chi - chi_c) / scale
+            good = jnp.logical_and(rho > 0, jnp.isfinite(chi_c))
+
+            def accept(_):
+                alpha = jnp.minimum(1.0 - (2.0 * rho - 1.0) ** 3, 2.0 / 3.0)
+                stop_ = (chi - chi_c) < 1e-10 * jnp.maximum(chi, 1.0)
+                return (cand, S_c, rhs_c, chi_c, norm_c, Hmm_inv_c,
+                        lam * jnp.maximum(1.0 / 3.0, alpha),
+                        jnp.asarray(2.0, dtype), it + 1, stop_)
+
+            def reject(_):
+                return (pl, S, rhs, chi, norm, Hmm_inv, lam * ni, ni * 2.0,
+                        it + 1, lam * ni > 1e16)
+
+            return jax.lax.cond(good, accept, reject, None)
+
+        init = (p_loc, S0, rhs0, chi0, norm0, Hmm_inv0, lam0,
+                jnp.asarray(2.0, dtype), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False))
+        out = jax.lax.while_loop(cond, body, init)
+        p_out, chi, lam, it = out[0], out[3], out[6], out[8]
+        return p_out, dict(chi2=chi, chi2_init=chi0, iterations=it, lam=lam)
+
+    fn = jax.jit(shard_map(body_fn, mesh=mesh, in_specs=(in_specs,),
+                           out_specs=out_specs, check_rep=False))
     return fn(p)

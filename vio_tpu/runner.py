@@ -51,12 +51,14 @@ def run_sim(data, cfg: VioConfig | None = None, n_frames: int | None = None,
     n = len(data.cam_t) if n_frames is None else min(n_frames, len(data.cam_t))
     ts, ps, Rs_out, status = [], [], [], []
     imu_i = 0
-    # cfg.td: camera-IMU time offset — t_imu = t_cam + td (reference:
+    # est.td: camera-IMU time offset — t_imu = t_cam + td (reference:
     # parameters.cpp TD readParameters; estimator pairs IMU against
-    # img_t + td).  Applied to every camera timestamp before pairing.
-    t_prev = data.cam_t[0] + cfg.td
+    # img_t + td).  Applied to every camera timestamp before pairing;
+    # read LIVE from the estimator so online refinement (estimate_td)
+    # shifts subsequent pairing.
+    t_prev = data.cam_t[0] + est.td
     for k in range(n):
-        t = data.cam_t[k] + cfg.td
+        t = data.cam_t[k] + est.td
         if k > 0:
             imu_i = feed_interval(est, data.imu_t, data.acc, data.gyr,
                                   t_prev, t, imu_i)
@@ -152,7 +154,7 @@ def run_images(frames, imu_t, acc, gyr, cfg: VioConfig,
     ts, ps, Rs_out, status = [], [], [], []
     n_frames = 0
     for t, img in frames:
-        t = t + cfg.td       # camera-IMU offset (parameters.cpp TD)
+        t = t + est.td       # camera-IMU offset, refined live (parameters.cpp TD)
         n_frames += 1
         if not init_feature:
             init_feature = True          # System.cpp:169-174
@@ -259,7 +261,7 @@ def run_images_async(frames, imu_t, acc, gyr, cfg: VioConfig,
             handle = 0
             n_frames = 0
             for t, img in frames:
-                t = t + cfg.td   # camera-IMU offset (parameters.cpp TD)
+                t = t + est.td   # camera-IMU offset, refined live (parameters.cpp TD)
                 n_frames += 1
                 if not init_feature:
                     init_feature = True

@@ -284,10 +284,14 @@ def render_blobs(uvs, height: int = 640, width: int = 640,
 
 def render_image(data: SimData, k: int, height: int = 640, width: int = 640,
                  sigma: float = 1.8, amplitude: float = 200.0,
-                 background: float = 12.0) -> np.ndarray:
+                 background: float = 12.0, rings: bool = False) -> np.ndarray:
     """Render frame k of a SimData sequence: one blob per visible landmark
     (the simulator writes feature files, not images — this renderer closes
     the loop so the KLT frontend can be exercised against exact geometry;
-    blob centers ARE the projections)."""
-    uvs = data.obs_uv[k][data.obs_valid[k]]
-    return render_blobs(uvs, height, width, sigma, amplitude, background)
+    blob centers ARE the projections).  ``rings=True`` adds the
+    per-landmark ring fingerprints (render_blobs ring_ids) that give each
+    blob distinctive appearance for descriptor-based loop closing."""
+    vis = np.where(data.obs_valid[k])[0]
+    uvs = data.obs_uv[k][vis]
+    return render_blobs(uvs, height, width, sigma, amplitude, background,
+                        ring_ids=vis if rings else None)
