@@ -71,8 +71,9 @@ jax.block_until_ready(out.Ps)
 dt = (time.perf_counter() - t0) / REPS
 if pid == 0:
     chi2 = float(stats["chi2"])
+    iters = int(stats["iterations"])   # accepted + rejected LM attempts
     print("SCALE_JSON " + json.dumps(
-        dict(nprocs=nprocs, solve_s=dt, chi2=chi2,
+        dict(nprocs=nprocs, solve_s=dt, chi2=chi2, iters=iters,
              n_obs=int(noisy_np.lm_idx.shape[0]))), flush=True)
 """
 
@@ -119,9 +120,15 @@ def main():
         print(json.dumps(r1), flush=True)
         r2 = run_config(2, N=args.N, M=M)
         print(json.dumps(r2), flush=True)
-        eff = r1["solve_s"] / (2.0 * r2["solve_s"])
+        # normalize per LM attempt: float32 psum ordering can change the
+        # accept/reject path at scale, so raw solve time compares unequal
+        # amounts of work; per-attempt time is the apples-to-apples rate
+        a1 = r1["solve_s"] / max(r1["iters"], 1)
+        a2 = r2["solve_s"] / max(r2["iters"], 1)
+        eff = a1 / (2.0 * a2)
         rows.append(dict(M=M, n_obs=r1["n_obs"], t1=r1["solve_s"],
-                         t2=r2["solve_s"], eff=eff,
+                         t2=r2["solve_s"], i1=r1["iters"], i2=r2["iters"],
+                         a1=a1, a2=a2, eff=eff,
                          chi1=r1["chi2"], chi2=r2["chi2"]))
         print(json.dumps({"M": M, "efficiency": round(eff, 3)}), flush=True)
 
@@ -135,19 +142,23 @@ def main():
         "processes under `jax.distributed.initialize` (Gloo collectives — "
         "the DCN analog), one single-threaded CPU device per process.",
         "",
-        "| observations | 1-proc solve (s) | 2-proc solve (s) | speedup | "
-        "efficiency |",
-        "|---|---|---|---|---|",
+        "| observations | 1-proc s (attempts) | 2-proc s (attempts) | "
+        "s/attempt 1p | s/attempt 2p | efficiency |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
-            f"| {r['n_obs']} | {r['t1']:.3f} | {r['t2']:.3f} | "
-            f"{r['t1']/r['t2']:.2f}x | {100*r['eff']:.0f}% |")
+            f"| {r['n_obs']} | {r['t1']:.3f} ({r['i1']}) | "
+            f"{r['t2']:.3f} ({r['i2']}) | {r['a1']:.4f} | {r['a2']:.4f} | "
+            f"{100*r['eff']:.0f}% |")
     per_iter_bytes = (6 * args.N) ** 2 * 4 + 6 * args.N * 4
     lines += [
         "",
-        f"chi2 agreement at the largest size: {rows[-1]['chi1']:.6g} (1p) "
-        f"vs {rows[-1]['chi2']:.6g} (2p).",
+        f"final chi2 at the largest size: {rows[-1]['chi1']:.6g} (1p) vs "
+        f"{rows[-1]['chi2']:.6g} (2p) — float32 psum ordering changes the "
+        "LM accept path at scale (hence the per-attempt normalization); "
+        "small-problem parity is asserted bit-tight in "
+        "tests/test_global_ba.py / test_distributed.py.",
         "",
         "Communication per LM iteration is ONE allreduce of the packed "
         f"reduced system: {per_iter_bytes/1e6:.2f} MB (f32).  On ICI "

@@ -125,6 +125,21 @@ def _quat_mul_np(q1, q2):
     ])
 
 
+def _so3_exp_np(w):
+    """Rodrigues in plain numpy — process_imu runs once per IMU sample on
+    the host, and an eager device call there costs a full RPC round trip
+    per sample (~28 ms each through the axon tunnel)."""
+    th2 = float(w @ w)
+    K = np.array([[0.0, -w[2], w[1]],
+                  [w[2], 0.0, -w[0]],
+                  [-w[1], w[0], 0.0]])
+    if th2 < 1e-16:
+        return np.eye(3) + K
+    th = np.sqrt(th2)
+    return (np.eye(3) + np.sin(th) / th * K +
+            (1.0 - np.cos(th)) / th2 * (K @ K))
+
+
 def _quat_to_mat_np(q):
     x, y, z, w_ = q
     return np.array([
@@ -260,8 +275,7 @@ class Estimator:
             # midpoint state propagation (estimator.cpp:128-135)
             un_acc_0 = self.Rs[j] @ (self.acc_0 - self.Bas[j]) - self.g
             un_gyr = 0.5 * (self.gyr_0 + gyr) - self.Bgs[j]
-            R_new = self.Rs[j] @ np.asarray(
-                lie.so3_exp_mat(jnp.asarray(un_gyr * dt)))
+            R_new = self.Rs[j] @ _so3_exp_np(un_gyr * dt)
             un_acc_1 = R_new @ (acc - self.Bas[j]) - self.g
             un_acc = 0.5 * (un_acc_0 + un_acc_1)
             self.Ps[j] = self.Ps[j] + self.Vs[j] * dt + 0.5 * un_acc * dt * dt

@@ -229,76 +229,32 @@ def assemble(states: WindowStates, f: WindowFactors,
              (guard * 2.0 * rho2)[..., None, None] *
              (w_err[..., :, None] * w_err[..., None, :])) * s2   # (F,W1,2,2)
 
-    # ---- block-form accumulation (round-4 rewrite) ----------------------
-    # The r1-r3 path expanded per-factor Jacobians over the frame axis
-    # into a dense (F, W1, 2, P) row-stacked J and took one big J^T W J --
-    # simple, but it streams ~12 MB of mostly-zero intermediates through
-    # HBM per LM attempt.  Each reprojection factor only touches THREE
-    # 6-dof blocks (ext, start frame i, observing frame j), so the
-    # Hessian is accumulated block-wise instead: per-factor 6x6 products
-    # (F*W1*36 floats, ~30x less traffic) scattered onto the (W1, W1)
-    # block grid with two tiny one-hot GEMMs.  Same math, asserted by the
-    # jacfwd/parity tests.
+    # expand per-frame pose Jacobians over the frame axis with one-hots
     onehot_i = jax.nn.one_hot(f.start, W1, dtype=dtype)          # (F, W1)
+    eyeW = jnp.eye(W1, dtype=dtype)                              # (W1, W1) [j]
+    Jframes6 = (jnp.einsum("fjab,fk->fjakb", Jpi, onehot_i) +
+                jnp.einsum("fjab,jk->fjakb", Jpj, eyeW))         # (F,W1,2,W1,6)
+    # embed pose(6) into frame-block(15) columns, speed-bias cols stay zero
+    Jframes = jnp.zeros((F, W1, 2, W1, 15), dtype)
+    Jframes = Jframes.at[..., 0:6].set(Jframes6)
     ext_scale = jnp.asarray(0.0 if fix_ext else 1.0, dtype)
-    m3 = mask[..., None, None]
-    Jpi_m = Jpi * m3
-    Jpj_m = Jpj * m3
-    Jext_m = Jext * (ext_scale * m3)
+    Jfull = jnp.concatenate(
+        [Jext * ext_scale, Jframes.reshape(F, W1, 2, W1 * 15)], axis=-1)  # (F,W1,2,P)
+    Jfull = Jfull * mask[..., None, None]
 
-    WJi = jnp.einsum("fjrs,fjsa->fjra", rinfo, Jpi_m)
-    WJj = jnp.einsum("fjrs,fjsa->fjra", rinfo, Jpj_m)
-    WJe = jnp.einsum("fjrs,fjsa->fjra", rinfo, Jext_m)
+    WJ = jnp.einsum("fjrs,fjsp->fjrp", rinfo, Jfull)             # robust_info · J
+    Jmat = Jfull.reshape(F * W1 * 2, P)
+    WJmat = WJ.reshape(F * W1 * 2, P)
+    Hpp = Jmat.T @ WJmat                                          # ← MXU GEMM
+
+    # b = -Σ drho · Jᵀ · info · r   (info = s²·I, drho = rho1)
     info_r = (s2 * rho1[..., None] * mask[..., None]) * r         # (F,W1,2)
+    bp = -jnp.einsum("fjrp,fjr->p", Jfull, info_r)
+
+    # landmark (inverse-depth) blocks
     Jd2 = Jd[..., 0] * mask[..., None]                            # (F,W1,2)
     WJd = jnp.einsum("fjrs,fjs->fjr", rinfo, Jd2)
-
-    # frame-frame 6x6 blocks: (i,i) scatter by start, (j,j) dense reduce,
-    # (i,j) one-hot scatter + symmetric mirror
-    A_ii = jnp.einsum("fjra,fjrb->fab", Jpi_m, WJi)               # (F,6,6)
-    D_jj = jnp.einsum("fjra,fjrb->jab", Jpj_m, WJj)               # (W1,6,6)
-    B_ij = jnp.einsum("fjra,fjrb->fjab", Jpi_m, WJj)              # (F,W1,6,6)
-    blocks = jnp.einsum("fm,fjab->mjab", onehot_i, B_ij)          # (W1,W1,6,6)
-    blocks = blocks + blocks.transpose(1, 0, 3, 2)
-    diag = jnp.einsum("fm,fab->mab", onehot_i, A_ii) + D_jj
-    rng_w = jnp.arange(W1)
-    blocks = blocks.at[rng_w, rng_w].add(diag)
-
-    # ext blocks
-    E_ee = jnp.einsum("fjra,fjrb->ab", Jext_m, WJe)               # (6,6)
-    E_i = jnp.einsum("fm,fab->mab", onehot_i,
-                     jnp.einsum("fjra,fjrb->fab", Jext_m, WJi))   # (W1,6,6)
-    E_j = jnp.einsum("fjra,fjrb->jab", Jext_m, WJj)
-    E_f = E_i + E_j                                               # ext x frame
-
-    # pack into the dense (P, P) layout [ext | frame k: pose6+sb9]
-    HF = jnp.zeros((W1, 15, W1, 15), dtype)
-    HF = HF.at[:, 0:6, :, 0:6].set(blocks.transpose(0, 2, 1, 3))
-    Hpp = jnp.zeros((P, P), dtype)
-    Hpp = Hpp.at[6:, 6:].set(HF.reshape(W1 * 15, W1 * 15))
-    EF = jnp.zeros((6, W1, 15), dtype).at[:, :, 0:6].set(
-        E_f.transpose(1, 0, 2))                                   # (6,W1,15)
-    Hpp = Hpp.at[0:6, 6:].set(EF.reshape(6, W1 * 15))
-    Hpp = Hpp.at[6:, 0:6].set(EF.reshape(6, W1 * 15).T)
-    Hpp = Hpp.at[0:6, 0:6].set(E_ee)
-
-    # gradient
-    bi = jnp.einsum("fjra,fjr->fa", Jpi_m, info_r)                # (F,6)
-    bj = jnp.einsum("fjra,fjr->ja", Jpj_m, info_r)                # (W1,6)
-    b6 = jnp.einsum("fm,fa->ma", onehot_i, bi) + bj               # (W1,6)
-    bF = jnp.zeros((W1, 15), dtype).at[:, 0:6].set(b6)
-    be = jnp.einsum("fjra,fjr->a", Jext_m, info_r)
-    bp = -jnp.concatenate([be, bF.reshape(W1 * 15)])
-
-    # pose-landmark coupling (P, F): column f touches ext, frame i, j
-    hi_col = jnp.einsum("fjra,fjr->fa", Jpi_m, WJd)               # (F,6)
-    hj_col = jnp.einsum("fjra,fjr->fja", Jpj_m, WJd)              # (F,W1,6)
-    he_col = jnp.einsum("fjra,fjr->af", Jext_m, WJd)              # (6,F)
-    Hpm6 = (jnp.einsum("fm,fa->maf", onehot_i, hi_col) +
-            hj_col.transpose(1, 2, 0))                            # (W1,6,F)
-    HpmF = jnp.zeros((W1, 15, F), dtype).at[:, 0:6].set(Hpm6)
-    Hpm = jnp.concatenate([he_col, HpmF.reshape(W1 * 15, F)])     # (P, F)
-
+    Hpm = jnp.einsum("fjrp,fjr->pf", Jfull, WJd)                  # (P, F)
     Hmm = jnp.einsum("fjr,fjr->f", Jd2, WJd)                      # (F,)
     bm = -jnp.einsum("fjr,fjr->f", Jd2, info_r)
 
@@ -323,7 +279,6 @@ def assemble(states: WindowStates, f: WindowFactors,
     imu_m = f.imu_valid.astype(dtype)
     Ji = jnp.concatenate([Jpi_m, Jsbi_m], axis=-1)                # (W, 15, 15)
     Jj = jnp.concatenate([Jpj_m, Jsbj_m], axis=-1)
-    eyeW = jnp.eye(W1, dtype=dtype)
     oh_i = eyeW[:W]                                               # (W, W1)
     oh_j = eyeW[1:]                                               # (W, W1)
     Jfr = (jnp.einsum("wab,wk->wakb", Ji, oh_i) +
