@@ -27,6 +27,7 @@ from .init import alignment, sfm
 from .init.ex_rotation import ExtrinsicRotationCalibrator
 from .solver import lm, marginalize, window as W
 from .utils import lie
+from .utils import lie_np
 
 SOLVER_INITIAL = 0
 SOLVER_NON_LINEAR = 1
@@ -580,7 +581,16 @@ class Estimator:
         # against the same visual noise.  Velocities are recovered in
         # closed form afterwards (alignment.recover_velocities).
         n_pairs = len(self.all_frames) - 1
-        stride = max(1, min(4, n_pairs // 8))
+        # stride by TARGET merged Δt, not a fixed cap: gravity enters the
+        # position rows as ½Δt², so observability is set by the merged
+        # interval length — ~0.25 s makes |g| solvable as soon as the
+        # window exists, instead of waiting many seconds for the r3-era
+        # stride≤4 (Δt 0.13 s at 30 Hz) to become conditioned.  Capped so
+        # at least ~6 merged pairs remain for the LS.
+        ts_f = [r.t for r in self.all_frames]
+        med_dt = float(np.median(np.diff(ts_f))) if n_pairs >= 2 else 0.033
+        stride = int(np.clip(round(0.25 / max(med_dt, 1e-3)),
+                             1, max(1, n_pairs // 6)))
         st_m, idx = self._frame_preints(dbg, stride=stride)
         dp_m = np.asarray(st_m.delta_p)
         dv_m = np.asarray(st_m.delta_v)
@@ -603,9 +613,17 @@ class Estimator:
             m = (len(idx) + 1) // 2
 
             def _half(sf, sp):
+                # the halves only provide INDEPENDENT scale estimates to
+                # compare — with ~5 pairs each they cannot meet the full
+                # system's tight scale-confidence gate (rel_std 0.02), so
+                # run them with it relaxed.  Requiring full confidence of
+                # each half rejected perfectly good frame-11 inits and
+                # deferred to later, worse ones (round-4 regression hunt:
+                # clean image-path APE 0.047 → 0.41 at the r3 gate commit).
                 okh, _, _, sh = alignment.linear_alignment(
                     R_all[idx][sf], T_all[idx][sf], dp_m[sp], dv_m[sp],
-                    dt_m[sp], self.tic, self.cfg.g_norm)
+                    dt_m[sp], self.tic, self.cfg.g_norm,
+                    max_scale_rel_std=0.15, g_band=2.5)
                 return sh if okh else None
 
             s1 = _half(slice(0, m), slice(0, m - 1))
@@ -658,7 +676,7 @@ class Estimator:
         self._backend_optimization()
 
     def _pack_states(self) -> W.WindowStates:
-        Qs = np.asarray(lie.mat_to_quat(jnp.asarray(self.Rs)))
+        Qs = lie_np.mat_to_quat_np(self.Rs)
         cands = self.fm.candidates()
         F = self.cfg.max_features
         inv_dep = np.ones(F)   # padded slots: 1.0, never 0 (1/0 → NaN Hessian)
@@ -666,7 +684,7 @@ class Estimator:
             inv_dep[i] = 1.0 / ft.depth
         return W.WindowStates(
             ext_t=jnp.asarray(self.tic),
-            ext_q=lie.mat_to_quat(jnp.asarray(self.ric)),
+            ext_q=jnp.asarray(lie_np.mat_to_quat_np(self.ric)),
             Ps=jnp.asarray(self.Ps), Qs=jnp.asarray(Qs),
             Vs=jnp.asarray(self.Vs), Bas=jnp.asarray(self.Bas),
             Bgs=jnp.asarray(self.Bgs), inv_dep=jnp.asarray(inv_dep))
@@ -784,7 +802,7 @@ class Estimator:
         self.err_prior = np.asarray(errp)
         self.Jt_prior_inv = np.asarray(Jtp)
         lam = self.cfg.prior_forgetting
-        if lam < 1.0:
+        if 0.0 < lam < 1.0:
             # exponential information decay (covariance inflation): scale
             # the prior's sqrt-Jacobian by √λ so H → λH, b → λb, err → √λ·err
             rl = np.sqrt(lam)
@@ -792,6 +810,12 @@ class Estimator:
             self.b_prior = self.b_prior * lam
             self.err_prior = self.err_prior * rl
             self.Jt_prior_inv = self.Jt_prior_inv / rl
+        elif lam == 0.0:
+            # prior dropped entirely (lam=0 would otherwise divide by zero)
+            self.H_prior = np.zeros_like(self.H_prior)
+            self.b_prior = np.zeros_like(self.b_prior)
+            self.err_prior = np.zeros_like(self.err_prior)
+            self.Jt_prior_inv = np.zeros_like(self.Jt_prior_inv)
         self.frame_solved += 1
 
         # per-solve structured telemetry (the reference prints these at
@@ -817,7 +841,7 @@ class Estimator:
         origin_ypr = np.asarray(lie.mat_to_ypr(jnp.asarray(self.Rs[0])))
         origin_P0 = self.Ps[0].copy()
 
-        Rs_new = np.asarray(lie.quat_to_mat(s.Qs))
+        Rs_new = lie_np.quat_to_mat_np(np.asarray(s.Qs))
         Ps_new = np.asarray(s.Ps)
         opt_ypr = np.asarray(lie.mat_to_ypr(jnp.asarray(Rs_new[0])))
         y_diff = origin_ypr[0] - opt_ypr[0]
@@ -835,7 +859,7 @@ class Estimator:
         if self.estimate_extrinsic != 0:
             # write back the optimized camera-IMU extrinsic
             # (double2vector, estimator.cpp:602-608)
-            self.ric = np.asarray(lie.quat_to_mat(s.ext_q))
+            self.ric = lie_np.quat_to_mat_np(np.asarray(s.ext_q))
             self.tic = np.asarray(s.ext_t)
 
         inv_dep = np.asarray(s.inv_dep)

@@ -37,18 +37,32 @@ def excitation_std(delta_vs, sum_dts) -> float:
 
 def solve_gyroscope_bias(R, delta_q, dq_dbg):
     """LS gyro bias from SfM-vs-preintegrated rotation
-    (initial_aligment.cpp:3-37).
+    (initial_aligment.cpp:3-37).  Host numpy float64 (once per init).
 
-    R (N+1,3,3) body→c0; delta_q (N,4) preintegrated rotation per pair;
+    R (N+1,3,3) body->c0; delta_q (N,4) preintegrated rotation per pair;
     dq_dbg (N,3,3) rotation-block bias Jacobian.  Returns delta_bg (3,)."""
-    R = jnp.asarray(R)
-    q_wb = lie.mat_to_quat(R)                                  # (N+1, 4)
-    q_ij = lie.quat_mul(lie.quat_conj(q_wb[:-1]), q_wb[1:])    # (N, 4)
-    r = 2.0 * lie.quat_mul(lie.quat_conj(jnp.asarray(delta_q)), q_ij)[:, :3]
-    J = jnp.asarray(dq_dbg)                                    # (N, 3, 3)
-    A = jnp.einsum("nij,nik->jk", J, J)
-    b = jnp.einsum("nij,ni->j", J, r)
-    return jnp.linalg.solve(A, b)
+    from ..utils.lie_np import mat_to_quat_np
+    R = np.asarray(R, np.float64)
+    q_wb = mat_to_quat_np(R)                                   # (N+1, 4)
+
+    def qmul(a, b):
+        x1, y1, z1, w1 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+        x2, y2, z2, w2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        return np.stack([
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2], -1)
+
+    def qconj(q):
+        return q * np.array([-1.0, -1.0, -1.0, 1.0])
+
+    q_ij = qmul(qconj(q_wb[:-1]), q_wb[1:])                    # (N, 4)
+    r = 2.0 * qmul(qconj(np.asarray(delta_q, np.float64)), q_ij)[:, :3]
+    J = np.asarray(dq_dbg, np.float64)                         # (N, 3, 3)
+    A = np.einsum("nij,nik->jk", J, J)
+    b = np.einsum("nij,ni->j", J, r)
+    return np.linalg.solve(A, b)
 
 
 def tangent_basis(g0):
@@ -65,29 +79,37 @@ def tangent_basis(g0):
 def _pair_blocks(R, T, delta_p, delta_v, dts, tic):
     """Per-pair (6 x [vi(3) vj(3) g(3) s(1)]) design blocks + rhs
     (the kinematic constraints of LinearAlignment, initial_aligment.cpp:
-    137-160).  All batched: returns (A6 (N,6,10), b6 (N,6))."""
+    137-160).  Plain numpy FLOAT64 regardless of the device dtype regime:
+    this runs once per init attempt on the host, and the (g, s, v) system
+    is ill-conditioned enough that float32 block formation distorts the
+    solved scale and poisons the residual-based acceptance gate (the
+    on-chip fp32 600-frame divergence, round 4).  Returns (A6 (N,6,10),
+    b6 (N,6))."""
+    R = np.asarray(R, np.float64)
+    T = np.asarray(T, np.float64)
+    delta_p = np.asarray(delta_p, np.float64)
+    delta_v = np.asarray(delta_v, np.float64)
+    dts = np.asarray(dts, np.float64)
+    tic = np.asarray(tic, np.float64)
     Ri = R[:-1]                                                 # (N,3,3)
     Rj = R[1:]
-    RiT = jnp.swapaxes(Ri, -1, -2)
+    RiT = np.swapaxes(Ri, -1, -2)
     RiT_Rj = RiT @ Rj
-    dt = dts[:, None]
     N = Ri.shape[0]
-    dtype = R.dtype
-    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, 3, 3))
+    I3 = np.broadcast_to(np.eye(3), (N, 3, 3))
 
-    A = jnp.zeros((N, 6, 10), dtype)
-    b = jnp.zeros((N, 6), dtype)
+    A = np.zeros((N, 6, 10))
+    b = np.zeros((N, 6))
     # position rows
-    A = A.at[:, 0:3, 0:3].set(-dts[:, None, None] * I3)
-    A = A.at[:, 0:3, 6:9].set(RiT * (0.5 * dts ** 2)[:, None, None])
-    A = A.at[:, 0:3, 9].set(
-        jnp.einsum("nij,nj->ni", RiT, T[1:] - T[:-1]) / 100.0)
-    b = b.at[:, 0:3].set(delta_p + jnp.einsum("nij,j->ni", RiT_Rj, tic) - tic)
+    A[:, 0:3, 0:3] = -dts[:, None, None] * I3
+    A[:, 0:3, 6:9] = RiT * (0.5 * dts ** 2)[:, None, None]
+    A[:, 0:3, 9] = np.einsum("nij,nj->ni", RiT, T[1:] - T[:-1]) / 100.0
+    b[:, 0:3] = delta_p + np.einsum("nij,j->ni", RiT_Rj, tic) - tic
     # velocity rows
-    A = A.at[:, 3:6, 0:3].set(-I3)
-    A = A.at[:, 3:6, 3:6].set(RiT_Rj)
-    A = A.at[:, 3:6, 6:9].set(RiT * dts[:, None, None])
-    b = b.at[:, 3:6].set(delta_v)
+    A[:, 3:6, 0:3] = -I3
+    A[:, 3:6, 3:6] = RiT_Rj
+    A[:, 3:6, 6:9] = RiT * dts[:, None, None]
+    b[:, 3:6] = delta_v
     return A, b
 
 
@@ -138,7 +160,7 @@ def _solve_overlapped(A6, b6, n_frames, n_tail, return_var=False):
 
 
 def linear_alignment(R, T, delta_p, delta_v, dts, tic, g_norm=9.81,
-                     max_scale_rel_std=0.02):
+                     max_scale_rel_std=0.02, g_band=1.0):
     """Velocities + gravity + scale (LinearAlignment,
     initial_aligment.cpp:125-197).  Returns (ok, x, g, s) where x holds the
     per-frame body-frame velocities.
@@ -151,14 +173,12 @@ def linear_alignment(R, T, delta_p, delta_v, dts, tic, g_norm=9.81,
     drift 30 %+ along the degenerate direction while ‖g‖ still lands
     inside the reference's band — the covariance gate waits for actual
     observability instead."""
-    n_frames = R.shape[0]
-    A6, b6 = _pair_blocks(jnp.asarray(R), jnp.asarray(T), jnp.asarray(delta_p),
-                          jnp.asarray(delta_v), jnp.asarray(dts),
-                          jnp.asarray(tic))
+    n_frames = np.asarray(R).shape[0]
+    A6, b6 = _pair_blocks(R, T, delta_p, delta_v, dts, tic)
     x = _solve_overlapped(A6, b6, n_frames, 4)
     s = x[-1] / 100.0
     g = x[-4:-1]
-    if abs(np.linalg.norm(g) - g_norm) > 1.0 or s < 0:
+    if abs(np.linalg.norm(g) - g_norm) > g_band or s < 0:
         return False, None, None, None
     g, x, var_s = refine_gravity(R, T, delta_p, delta_v, dts, tic, g, g_norm)
     s = x[-1] / 100.0
@@ -174,13 +194,8 @@ def refine_gravity(R, T, delta_p, delta_v, dts, tic, g, g_norm=9.81,
                    iterations=4):
     """2-dof tangent-space gravity refinement (RefineGravity,
     initial_aligment.cpp:55-123)."""
-    n_frames = R.shape[0]
-    Rj = jnp.asarray(R)
-    A6, b6 = _pair_blocks(Rj, jnp.asarray(T), jnp.asarray(delta_p),
-                          jnp.asarray(delta_v), jnp.asarray(dts),
-                          jnp.asarray(tic))
-    A6 = np.asarray(A6)
-    b6 = np.asarray(b6)
+    n_frames = np.asarray(R).shape[0]
+    A6, b6 = _pair_blocks(R, T, delta_p, delta_v, dts, tic)
     g0 = g / np.linalg.norm(g) * g_norm
     x = None
     var_s = 0.0
@@ -211,11 +226,11 @@ def recover_velocities(R, T, delta_p, delta_v, dts, tic, g, s):
 
     R (N+1,3,3) body→c0, T (N+1,3) camera positions (visual units),
     delta_p/delta_v (N,3), dts (N,).  Returns v (N+1, 3)."""
-    R = np.asarray(R)
-    T = np.asarray(T)
-    delta_p = np.asarray(delta_p)
-    delta_v = np.asarray(delta_v)
-    dts = np.asarray(dts)
+    R = np.asarray(R, np.float64)
+    T = np.asarray(T, np.float64)
+    delta_p = np.asarray(delta_p, np.float64)
+    delta_v = np.asarray(delta_v, np.float64)
+    dts = np.asarray(dts, np.float64)
     Ri = R[:-1]
     Rj = R[1:]
     RiT = np.swapaxes(Ri, -1, -2)

@@ -56,9 +56,9 @@ def run_sim(data, cfg: VioConfig | None = None, n_frames: int | None = None,
     # img_t + td).  Applied to every camera timestamp before pairing;
     # read LIVE from the estimator so online refinement (estimate_td)
     # shifts subsequent pairing.
-    t_prev = data.cam_t[0] + est.td
+    t_prev = data.cam_t[0] + getattr(est, "td", cfg.td)
     for k in range(n):
-        t = data.cam_t[k] + est.td
+        t = data.cam_t[k] + getattr(est, "td", cfg.td)
         if k > 0:
             imu_i = feed_interval(est, data.imu_t, data.acc, data.gyr,
                                   t_prev, t, imu_i)
@@ -154,7 +154,7 @@ def run_images(frames, imu_t, acc, gyr, cfg: VioConfig,
     ts, ps, Rs_out, status = [], [], [], []
     n_frames = 0
     for t, img in frames:
-        t = t + est.td       # camera-IMU offset, refined live (parameters.cpp TD)
+        t = t + getattr(est, "td", cfg.td)   # camera-IMU offset
         n_frames += 1
         if not init_feature:
             init_feature = True          # System.cpp:169-174
@@ -261,7 +261,7 @@ def run_images_async(frames, imu_t, acc, gyr, cfg: VioConfig,
             handle = 0
             n_frames = 0
             for t, img in frames:
-                t = t + est.td   # camera-IMU offset, refined live (parameters.cpp TD)
+                t = t + getattr(est, "td", cfg.td)   # camera-IMU offset, refined live
                 n_frames += 1
                 if not init_feature:
                     init_feature = True

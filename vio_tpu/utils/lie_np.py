@@ -1,0 +1,63 @@
+"""Plain-numpy twins of the hot host-side conversions in utils/lie.py.
+
+The estimator's per-frame host orchestration (pack/unpack around the
+jitted solve) was calling the jnp versions eagerly — one device dispatch
+per call, which through this harness's axon tunnel is a full RPC round
+trip (~28 ms) per conversion.  These run on the host in microseconds.
+Same conventions: quaternions (x, y, z, w); matches lie.mat_to_quat's
+branch-free Shepperd selection bit-for-bit up to float rounding.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    """(..., 4) (x,y,z,w) → (..., 3, 3)."""
+    q = np.asarray(q, np.float64)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    out = np.empty(q.shape[:-1] + (3, 3))
+    out[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    out[..., 0, 1] = 2 * (x * y - w * z)
+    out[..., 0, 2] = 2 * (x * z + w * y)
+    out[..., 1, 0] = 2 * (x * y + w * z)
+    out[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    out[..., 1, 2] = 2 * (y * z - w * x)
+    out[..., 2, 0] = 2 * (x * z - w * y)
+    out[..., 2, 1] = 2 * (y * z + w * x)
+    out[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return out
+
+
+def mat_to_quat_np(m: np.ndarray) -> np.ndarray:
+    """(..., 3, 3) → (..., 4) (x,y,z,w), Shepperd best-candidate."""
+    m = np.asarray(m, np.float64)
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def ssqrt(x):
+        return np.sqrt(np.maximum(x, 1e-30))
+
+    s0 = ssqrt(tr + 1.0) * 2.0
+    q0 = np.stack([(m21 - m12) / s0, (m02 - m20) / s0,
+                   (m10 - m01) / s0, 0.25 * s0], -1)
+    s1 = ssqrt(1.0 + m00 - m11 - m22) * 2.0
+    q1 = np.stack([0.25 * s1, (m01 + m10) / s1,
+                   (m02 + m20) / s1, (m21 - m12) / s1], -1)
+    s2 = ssqrt(1.0 + m11 - m00 - m22) * 2.0
+    q2 = np.stack([(m01 + m10) / s2, 0.25 * s2,
+                   (m12 + m21) / s2, (m02 - m20) / s2], -1)
+    s3 = ssqrt(1.0 + m22 - m00 - m11) * 2.0
+    q3 = np.stack([(m02 + m20) / s3, (m12 + m21) / s3,
+                   0.25 * s3, (m10 - m01) / s3], -1)
+    cand = np.stack([q0, q1, q2, q3], axis=-2)
+    scores = np.stack([tr, m00 - m11 - m22, m11 - m00 - m22,
+                       m22 - m00 - m11], -1)
+    idx = np.argmax(scores, axis=-1)
+    q = np.take_along_axis(
+        cand, idx[..., None, None] + np.zeros_like(cand[..., :1, :],
+                                                   dtype=np.int64),
+        axis=-2)[..., 0, :]
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
