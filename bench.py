@@ -122,7 +122,8 @@ def measure_rtt_ms(n=10):
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def bench_window(max_features: int, n: int = 5, want_flops: bool = False):
+def bench_window(max_features: int, n: int = 5, want_flops: bool = False,
+                 compact: bool = True):
     from vio_tpu import testing
     from vio_tpu.solver import lm
 
@@ -130,6 +131,10 @@ def bench_window(max_features: int, n: int = 5, want_flops: bool = False):
         window_size=10, max_features=max_features, imu_per_interval=16,
         dtype=jnp.float32)
     live = int(np.asarray(f.obs_mask).sum())
+    # live-observation compaction (window.assemble n_obs): GEMM rows scale
+    # with live factors, not the (F, W1) grid — the production estimator
+    # path (estimator._obs_cap)
+    n_obs = max(256, ((live + 255) // 256) * 256) if compact else None
     rng = np.random.default_rng(0)
     pert = jnp.asarray(rng.normal(0.0, 0.01, states.Ps.shape), jnp.float32)
 
@@ -137,7 +142,8 @@ def bench_window(max_features: int, n: int = 5, want_flops: bool = False):
         # perturb so the Nielsen loop runs all 10 iterations (a converged
         # fixed point would early-stop after 1 and flatter the number)
         s = states._replace(Ps=states.Ps + pert)
-        new_states, _, _, stats = lm.solve_window(s, f, max_iter=10)
+        new_states, _, _, stats = lm.solve_window(s, f, max_iter=10,
+                                                  n_obs=n_obs)
         return new_states.Ps, stats["chi2"], stats["iterations"]
 
     jitted = jax.jit(step)
@@ -193,26 +199,63 @@ def bench_global_ba(n: int = 3):
     return device_time_ms(jax.jit(step), (noisy,), n=n)
 
 
-def bench_e2e_sim(n_frames: int = 120):
+def bench_e2e_sim(n_frames: int = 120, trace_frames: int = 8):
     """Full estimator pipeline frames/s over the tracker-bypass sim stream
-    (IMU feed + feature packaging + init + per-frame window solve +
-    marginalization + slide — everything but image tracking).  Wall fps on
-    this tunnel is dominated by per-call RPC (dozens of calls/frame); the
-    device-lane sum is reported alongside."""
+    (IMU feed + feature packaging + init + per-frame fused frame_step +
+    host-f64 marg chain + slide — everything but image tracking).
+
+    Two numbers, measured separately so each is self-consistent:
+    - wall_fps over the full run (on this harness's axon tunnel this is
+      RPC-bound — 1 dispatch + 1 fetch per frame at ~28 ms RTT each);
+    - device_ms_per_frame from PER-FRAME profiler windows around
+      ``trace_frames`` consecutive post-init frames (one long trace
+      under-captured the device lane in round 4)."""
     from vio_tpu import runner, sim
+    from vio_tpu.config import sim_config
+    from vio_tpu.estimator import Estimator
 
     data = sim.generate(noise=False)
     runner.run_sim(data, n_frames=min(40, n_frames))   # warm compiles
-    tmp = tempfile.mkdtemp(prefix="viobench_e2e_")
     t0 = time.perf_counter()
-    jax.profiler.start_trace(tmp)
     est, traj = runner.run_sim(data, n_frames=n_frames)
-    jax.profiler.stop_trace()
     wall = time.perf_counter() - t0
-    dev_total_ms = _parse_trace_device_ms(tmp)
+
+    # --- per-frame device time on post-init frames ---
+    cfg = sim_config()
+    est2 = Estimator(cfg)
+    imu_i = 0
+    t_prev = data.cam_t[0] + est2.td
+    per_frame_dev = []
+    k = 0
+    n_feed = min(40 + trace_frames + 5, len(data.cam_t))
+    while k < n_feed and len(per_frame_dev) < trace_frames:
+        t = data.cam_t[k] + est2.td
+        if k > 0:
+            imu_i = runner.feed_interval(est2, data.imu_t, data.acc,
+                                         data.gyr, t_prev, t, imu_i)
+        t_prev = t
+        feats = {}
+        for lid in np.where(data.obs_valid[k])[0]:
+            xy = data.obs_xy[k, lid]
+            feats[int(lid)] = (np.array([xy[0], xy[1], 1.0]),
+                               data.obs_uv[k, lid], np.zeros(2))
+        do_trace = est2.initialized
+        if do_trace:
+            tmp = tempfile.mkdtemp(prefix="viobench_e2ef_")
+            jax.profiler.start_trace(tmp)
+        est2.process_image(feats, t)
+        if do_trace:
+            jax.profiler.stop_trace()
+            d = _parse_trace_device_ms(tmp)
+            if d is not None:
+                per_frame_dev.append(d)
+        k += 1
+
+    dev_ms = (round(float(np.mean(per_frame_dev)), 2)
+              if per_frame_dev else None)
     return dict(wall_fps=round(n_frames / wall, 2),
-                device_ms_per_frame=(round(dev_total_ms / n_frames, 2)
-                                     if dev_total_ms else None),
+                device_ms_per_frame=dev_ms,
+                device_frames_traced=len(per_frame_dev),
                 initialized=bool(est.initialized))
 
 
@@ -231,9 +274,25 @@ def bench_fp32_ape(n_frames: int = 600):
 
 
 def _flush_details(details):
+    """Merge-write: keys from previous runs (e.g. a VIO_BENCH_FULL run's
+    fp32 600-frame APE) survive a later budgeted driver run that only
+    re-measures a subset — round 4 lost the full-run rows to a plain
+    overwrite here."""
     try:
+        merged = {}
+        try:
+            with open("BENCH_DETAILS.json") as fh:
+                merged = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        skipped = {k for k, v in details.items()
+                   if isinstance(v, str) and v.startswith("skipped")}
+        merged.update({k: v for k, v in details.items() if k not in skipped})
+        # record the skip only when no prior numeric value exists
+        for k in skipped:
+            merged.setdefault(k, details[k])
         with open("BENCH_DETAILS.json", "w") as fh:
-            json.dump(details, fh, indent=2)
+            json.dump(merged, fh, indent=2)
     except OSError:
         pass
 

@@ -47,24 +47,15 @@ def materialize(out):
         np.asarray(leaf)
 
 
-# --- headline: 10-iter window solve fps (same shape as bench.py) -------
-states, f, _ = testing.make_window_problem(
-    window_size=10, max_features=256, imu_per_interval=16,
-    dtype=jnp.float32)
+# --- headline: 10-iter window solve fps, PROFILER device time (the
+# bench.py methodology — wall per-call on the axon tunnel is RPC-bound
+# and insensitive to precision, which is why the r3 "8x precision cost"
+# and the r4 "precision irrelevant" wall readings disagreed) -----------
+import bench  # noqa: E402  (repo root; sets the compile cache)
 
-
-def step(states, f):
-    new_states, _, _, stats = lm.solve_window(states, f, max_iter=10)
-    return new_states.Ps, stats["chi2"]
-
-
-jitted = jax.jit(step)
-materialize(jitted(states, f))
-t0 = time.perf_counter()
-outs = [jitted(states, f) for _ in range(20)]
-for o in outs:
-    materialize(o)
-fps = 20.0 / (time.perf_counter() - t0)
+dev_ms, wall_ms, live, iters, _ = bench.bench_window(256, n=5)
+fps = 1e3 / dev_ms if dev_ms else 1e3 / wall_ms
+dev1024, wall1024, live1024, _, _ = bench.bench_window(1024, n=3)
 
 # --- short e2e: init must solve gravity; APE must stay at f64 level ----
 data = sim.generate(noise=False)
@@ -76,7 +67,9 @@ ape = metrics.ape_rmse(traj["p"], gt_p)
 
 print(json.dumps({
     "precision": mode,
-    "window_fps": round(fps, 2),
+    "window_fps_device": round(fps, 2),
+    "window_wall_ms": round(wall_ms, 1),
+    "window_F1024_device_ms": round(dev1024, 2) if dev1024 else None,
     "e2e_frames": n_frames,
     "e2e_wall_s": round(e2e_wall, 1),
     "initialized": bool(est.initialized),

@@ -254,3 +254,44 @@ def test_mono_ba_converges_to_ground_truth():
     assert np.allclose(x[6:9], Ts_gt[2], atol=0.06), x[6:9] - Ts_gt[2]
     err = np.abs(x[18:] - gt_invdep) / gt_invdep
     assert np.median(err) < 2e-2
+
+
+def test_compacted_assembly_matches_grid():
+    """window.assemble with a static live-observation cap (n_obs) must
+    reproduce the dense-grid normal equations exactly — the compaction is
+    a pure gather/re-layout of the same factors (the production estimator
+    path, estimator._obs_cap; VERDICT r4 #3 padded-grid tax)."""
+    from vio_tpu import testing
+    from vio_tpu.solver import lm
+    from vio_tpu.solver import window as W
+
+    states, f, _ = testing.make_window_problem(
+        window_size=10, max_features=64, imu_per_interval=8,
+        dtype=jnp.float64)
+    live = int(np.asarray(f.obs_mask & np.asarray(f.feat_valid)[:, None]).sum())
+    n_obs = ((live + 255) // 256) * 256
+    n0 = W.assemble(states, f, fix_ext=True, loss_delta=1.0)
+    n1 = W.assemble(states, f, fix_ext=True, loss_delta=1.0, n_obs=n_obs)
+    for name in ("Hpp", "bp", "Hpm", "Hmm", "bm", "chi2"):
+        a = np.asarray(getattr(n0, name))
+        b = np.asarray(getattr(n1, name))
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 1e-9, name
+
+    s0 = lm.solve_window(states, f, max_iter=10)
+    s1 = lm.solve_window(states, f, max_iter=10, n_obs=n_obs)
+    assert np.abs(np.asarray(s0[0].Ps) - np.asarray(s1[0].Ps)).max() < 1e-8
+
+
+def test_compacted_assembly_overflow_keeps_prefix():
+    """With n_obs below the live count the compaction keeps the FIRST
+    n_obs live cells (documented silent-drop contract) — the result must
+    stay finite and the Hessian well-formed."""
+    from vio_tpu import testing
+    from vio_tpu.solver import window as W
+
+    states, f, _ = testing.make_window_problem(
+        window_size=10, max_features=64, imu_per_interval=8)
+    n1 = W.assemble(states, f, fix_ext=True, loss_delta=1.0, n_obs=256)
+    for leaf in n1:
+        assert np.all(np.isfinite(np.asarray(leaf)))

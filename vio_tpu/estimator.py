@@ -25,7 +25,7 @@ from .config import VioConfig
 from .feature_manager import FeatureManager, INIT_DEPTH
 from .init import alignment, sfm
 from .init.ex_rotation import ExtrinsicRotationCalibrator
-from .solver import lm, marginalize, window as W
+from .solver import frame_step, lm, marginalize, window as W
 from .utils import lie
 from .utils import lie_np
 
@@ -676,6 +676,8 @@ class Estimator:
         self._backend_optimization()
 
     def _pack_states(self) -> W.WindowStates:
+        """Host-side pack: numpy leaves (transfers happen once, at the
+        fused frame_step dispatch)."""
         Qs = lie_np.mat_to_quat_np(self.Rs)
         cands = self.fm.candidates()
         F = self.cfg.max_features
@@ -683,53 +685,39 @@ class Estimator:
         for i, ft in enumerate(cands[:F]):
             inv_dep[i] = 1.0 / ft.depth
         return W.WindowStates(
-            ext_t=jnp.asarray(self.tic),
-            ext_q=jnp.asarray(lie_np.mat_to_quat_np(self.ric)),
-            Ps=jnp.asarray(self.Ps), Qs=jnp.asarray(Qs),
-            Vs=jnp.asarray(self.Vs), Bas=jnp.asarray(self.Bas),
-            Bgs=jnp.asarray(self.Bgs), inv_dep=jnp.asarray(inv_dep))
+            ext_t=np.asarray(self.tic),
+            ext_q=lie_np.mat_to_quat_np(self.ric),
+            Ps=self.Ps.copy(), Qs=Qs,
+            Vs=self.Vs.copy(), Bas=self.Bas.copy(),
+            Bgs=self.Bgs.copy(), inv_dep=inv_dep)
 
-    def _pack_factors(self) -> W.WindowFactors:
+    def _pack_imu_raw(self):
+        """Raw padded IMU buffers for the window intervals 1..W, host
+        numpy.  Adaptive IMU capacity: non-keyframe slides MERGE
+        intervals, so a window interval can exceed the nominal capacity
+        (e.g. ~0.4 s of 200 Hz IMU).  Truncating would silently shorten
+        delta_p for that factor and bias the solved scale; instead round
+        the needed capacity up to a multiple of 32 (at most a handful of
+        XLA recompiles over a run)."""
         cfg = self.cfg
-        # adaptive IMU capacity: non-keyframe slides MERGE intervals, so a
-        # window interval can exceed the nominal capacity (e.g. ~0.4 s of
-        # 200 Hz IMU).  Truncating would silently shorten delta_p for that
-        # factor and bias the solved scale; instead round the needed
-        # capacity up to a multiple of 32 (at most a handful of XLA
-        # recompiles over a run).
         longest = max((len(b) for b in self.bufs[1:self.W1] if b is not None),
                       default=0)
         M = max(cfg.max_imu_per_interval, ((longest + 31) // 32) * 32)
-        F = cfg.max_features
-        W1 = self.W1
-
-        # ---- IMU intervals 1..W preintegrated in one batched scan,
-        # linearized at the current start-frame biases (always-repropagate;
-        # the reference's first-order bias correction handles in-solve drift)
-        packs = [_pad_buffer(self.bufs[k], M) for k in range(1, W1)]
-        dts = jnp.asarray(np.stack([p[0] for p in packs]))
-        accs = jnp.asarray(np.stack([p[1] for p in packs]))
-        gyrs = jnp.asarray(np.stack([p[2] for p in packs]))
-        mask = jnp.asarray(np.stack([p[3] for p in packs]))
-        acc0 = jnp.asarray(np.stack([p[4] for p in packs]))
-        gyr0 = jnp.asarray(np.stack([p[5] for p in packs]))
-        bas = jnp.asarray(self.Bas[:self.W])
-        bgs = jnp.asarray(self.Bgs[:self.W])
-        st = imu.preintegrate_batch(dts, accs, gyrs, mask, acc0, gyr0,
-                                    bas, bgs, jnp.asarray(self.noise_diag))
+        packs = [_pad_buffer(self.bufs[k], M) for k in range(1, self.W1)]
         imu_valid = np.array([self.bufs[k] is not None and len(self.bufs[k]) > 0
-                              for k in range(1, W1)])
-        # keep invalid-interval covariances invertible
-        cov = np.array(st.covariance, copy=True)
-        for w in np.where(~imu_valid)[0]:
-            cov[w] = np.eye(15)
-        terms = factors.ImuFactorTerms(
-            delta_p=st.delta_p, delta_q=st.delta_q, delta_v=st.delta_v,
-            jacobian=st.jacobian, covariance=jnp.asarray(cov),
-            sum_dt=st.sum_dt, linearized_ba=st.linearized_ba,
-            linearized_bg=st.linearized_bg)
+                              for k in range(1, self.W1)])
+        return (np.stack([p[0] for p in packs]),
+                np.stack([p[1] for p in packs]),
+                np.stack([p[2] for p in packs]),
+                np.stack([p[3] for p in packs]),
+                np.stack([p[4] for p in packs]),
+                np.stack([p[5] for p in packs]),
+                imu_valid)
 
-        # ---- reprojection grid
+    def _pack_reproj_raw(self):
+        """Raw reprojection grid arrays, host numpy."""
+        F = self.cfg.max_features
+        W1 = self.W1
         cands = self.fm.candidates()[:F]
         pts_i = np.zeros((F, 3))
         pts_i[:, 2] = 1.0
@@ -747,7 +735,28 @@ class Estimator:
                 if j <= self.W:
                     pts_j[i, j] = p
                     obs_mask[i, j] = True
+        return pts_i, pts_j, start, obs_mask, feat_valid
 
+    def _pack_factors(self) -> W.WindowFactors:
+        """Full WindowFactors (separate preintegration dispatch) — the
+        non-fused API kept for checkpoints/tests; the per-frame hot path
+        uses frame_step with the raw packs instead."""
+        dts, accs, gyrs, mask, acc0, gyr0, imu_valid = self._pack_imu_raw()
+        st = imu.preintegrate_batch(
+            jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
+            jnp.asarray(mask), jnp.asarray(acc0), jnp.asarray(gyr0),
+            jnp.asarray(self.Bas[:self.W]), jnp.asarray(self.Bgs[:self.W]),
+            jnp.asarray(self.noise_diag))
+        # keep invalid-interval covariances invertible
+        cov = np.array(st.covariance, copy=True)
+        for w in np.where(~imu_valid)[0]:
+            cov[w] = np.eye(15)
+        terms = factors.ImuFactorTerms(
+            delta_p=st.delta_p, delta_q=st.delta_q, delta_v=st.delta_v,
+            jacobian=st.jacobian, covariance=jnp.asarray(cov),
+            sum_dt=st.sum_dt, linearized_ba=st.linearized_ba,
+            linearized_bg=st.linearized_bg)
+        pts_i, pts_j, start, obs_mask, feat_valid = self._pack_reproj_raw()
         return W.WindowFactors(
             imu_terms=terms, imu_valid=jnp.asarray(imu_valid),
             pts_i=jnp.asarray(pts_i), pts_j=jnp.asarray(pts_j),
@@ -760,19 +769,39 @@ class Estimator:
             g=jnp.asarray(self.g),
             proj_sqrt_info=jnp.asarray(self.cfg.focal_length / 1.5))
 
+    def _obs_cap(self, obs_mask) -> int:
+        """Static live-observation bucket for the compacted assembly
+        (window.assemble n_obs): the live count rounded up to a multiple
+        of 512 so the solve GEMM scales with live factors, not the (F, W1)
+        grid, at a bounded number of XLA recompiles per run."""
+        live = int(np.asarray(obs_mask).sum())
+        cap = max(512, ((live + 511) // 512) * 512)
+        return min(cap, self.cfg.max_features * self.W1)
+
     def _backend_optimization(self):
         import time as _time
         t0 = _time.perf_counter()
         states = self._pack_states()
-        f = self._pack_factors()
-        new_states, b_prior, err_prior, stats = lm.solve_window(
-            states, f, max_iter=self.cfg.max_num_iterations,
-            fix_ext=self.estimate_extrinsic == 0)
-        jax.block_until_ready(new_states.Ps)
+        imu_pack = self._pack_imu_raw()
+        pts_i, pts_j, start, obs_mask, feat_valid = self._pack_reproj_raw()
+        marg_old = self.marg_flag == MARGIN_OLD
+
+        # ONE device dispatch for the whole frame (solver/frame_step.py):
+        # preintegrate → LM solve → yaw-gauge re-fix → outlier errors →
+        # marg subproblem; then ONE fetch of the result pytree.
+        out = frame_step.frame_step(
+            states, *imu_pack, pts_i, pts_j, start, obs_mask, feat_valid,
+            self.H_prior, self.b_prior, self.err_prior, self.Jt_prior_inv,
+            self.g, self.noise_diag,
+            np.float64(self.cfg.focal_length / 1.5),
+            max_iter=self.cfg.max_num_iterations,
+            fix_ext=self.estimate_extrinsic == 0,
+            n_obs=self._obs_cap(obs_mask), marg_old=marg_old)
+        out = jax.device_get(out)
         t_solve = _time.perf_counter() - t0
-        self.b_prior = np.asarray(b_prior)
-        self.err_prior = np.asarray(err_prior)
-        self._unpack_states(new_states)
+        self.b_prior = np.asarray(out.b_prior, np.float64)
+        self.err_prior = np.asarray(out.err_prior, np.float64)
+        self._unpack_states(out.states)
 
         # post-solve reprojection outlier rejection (the full VINS-Mono's
         # removeOutlier): features whose mean residual at the solution
@@ -780,27 +809,33 @@ class Estimator:
         # remove_failures() after the slide — their constant measurement
         # offsets are inconsistent with any rigid point and bias the scale.
         if self.cfg.outlier_reproj_px > 0:
-            errs = np.asarray(W.feature_reproj_errors(new_states, f))
+            errs = np.asarray(out.feat_errs)
             gate = self.cfg.outlier_reproj_px / self.cfg.focal_length
             cands = self.fm.candidates()[:self.cfg.max_features]
             for i, ft in enumerate(cands):
                 if errs[i] > gate:
                     ft.solve_flag = 2
 
-        f = f._replace(b_prior=jnp.asarray(self.b_prior),
-                       err_prior=jnp.asarray(self.err_prior))
-
-        # marginalization (estimator.cpp:1131-1142)
+        # marginalization (estimator.cpp:1131-1142).  The prior CHAIN
+        # (Schur of the evicted block + eigh pseudo-inverse + sqrt form)
+        # runs in HOST float64: the prior is the window's long-memory
+        # state and f32 rounding there compounds over a full run
+        # (round-5 on-chip accuracy fix; the reference needed the same
+        # care, problem.cc:747-779).  The factor linearization itself
+        # came back from the fused device call (marg_Hpp/marg_bp).
         t1 = _time.perf_counter()
-        if self.marg_flag == MARGIN_OLD:
-            states_new = self._pack_states()
-            Hp, bp, errp, Jtp = marginalize.marginalize_old(states_new, f)
+        if marg_old:
+            Hp, bp, errp, Jtp = marginalize.finalize_old_from_blocks(
+                out.marg_Hpp, out.marg_bp)
         else:
-            Hp, bp, errp, Jtp = marginalize.marginalize_new(f)
+            Hp, bp, errp, Jtp = marginalize.marginalize_new_host(
+                self.H_prior, self.b_prior)
         self.H_prior = np.asarray(Hp)
         self.b_prior = np.asarray(bp)
         self.err_prior = np.asarray(errp)
         self.Jt_prior_inv = np.asarray(Jtp)
+        stats = dict(chi2=out.chi2, chi2_init=out.chi2_init,
+                     iterations=out.iterations, lam=out.lam)
         lam = self.cfg.prior_forgetting
         if 0.0 < lam < 1.0:
             # exponential information decay (covariance inflation): scale
@@ -821,41 +856,29 @@ class Estimator:
         # per-solve structured telemetry (the reference prints these at
         # problem.cc:177,246-248; here they are machine-readable —
         # SURVEY §5.1/5.5)
-        n_obs = int(np.asarray(f.obs_mask).sum())
         self.telemetry.append(dict(
             t=float(self.headers[self.frame_count]),
             chi2_init=float(np.asarray(stats["chi2_init"])),
             chi2=float(np.asarray(stats["chi2"])),
             iterations=int(np.asarray(stats["iterations"])),
             lam=float(np.asarray(stats["lam"])),
-            n_features=int(np.asarray(f.feat_valid).sum()),
-            n_reproj_factors=n_obs,
-            n_imu_factors=int(np.asarray(f.imu_valid).sum()),
+            n_features=int(feat_valid.sum()),
+            n_reproj_factors=int(obs_mask.sum()),
+            n_imu_factors=int(imu_pack[6].sum()),
             marg="old" if self.marg_flag == MARGIN_OLD else "new",
             solve_ms=round(t_solve * 1e3, 3),
             marg_ms=round((_time.perf_counter() - t1) * 1e3, 3),
         ))
 
     def _unpack_states(self, s: W.WindowStates):
-        """double2vector with the yaw-gauge re-fix (estimator.cpp:549-600)."""
-        origin_ypr = np.asarray(lie.mat_to_ypr(jnp.asarray(self.Rs[0])))
-        origin_P0 = self.Ps[0].copy()
-
-        Rs_new = lie_np.quat_to_mat_np(np.asarray(s.Qs))
-        Ps_new = np.asarray(s.Ps)
-        opt_ypr = np.asarray(lie.mat_to_ypr(jnp.asarray(Rs_new[0])))
-        y_diff = origin_ypr[0] - opt_ypr[0]
-        rot_diff = np.asarray(lie.ypr_to_mat(jnp.asarray([y_diff, 0.0, 0.0])))
-        if abs(abs(origin_ypr[1]) - 90) < 1.0 or abs(abs(opt_ypr[1]) - 90) < 1.0:
-            # gimbal-lock: fall back to full rotation transfer
-            rot_diff = self.Rs[0] @ Rs_new[0].T
-
-        for i in range(self.W1):
-            self.Rs[i] = rot_diff @ Rs_new[i]
-            self.Ps[i] = rot_diff @ (Ps_new[i] - Ps_new[0]) + origin_P0
-            self.Vs[i] = rot_diff @ np.asarray(s.Vs)[i]
-        self.Bas = np.asarray(s.Bas).copy()
-        self.Bgs = np.asarray(s.Bgs).copy()
+        """double2vector unpack of the gauge-fixed device solution (the
+        yaw-gauge re-fix itself runs inside frame_step on device,
+        estimator.cpp:549-600)."""
+        self.Rs = lie_np.quat_to_mat_np(np.asarray(s.Qs))
+        self.Ps = np.asarray(s.Ps, np.float64).copy()
+        self.Vs = np.asarray(s.Vs, np.float64).copy()
+        self.Bas = np.asarray(s.Bas, np.float64).copy()
+        self.Bgs = np.asarray(s.Bgs, np.float64).copy()
         if self.estimate_extrinsic != 0:
             # write back the optimized camera-IMU extrinsic
             # (double2vector, estimator.cpp:602-608)

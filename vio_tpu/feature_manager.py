@@ -136,30 +136,57 @@ class FeatureManager:
     def triangulate(self, Ps, Rs, tic, ric):
         """Fill depth for candidates with depth<0.  Ps/Rs: body states in
         world; camera pose of frame k: R_wc = Rs[k]·ric, t_wc = Ps[k]+Rs[k]·tic.
-        DLT in the start frame's camera coordinates."""
-        for ft in self.candidates():
-            if ft.depth > 0:
-                continue
+        DLT in the start frame's camera coordinates.
+
+        Vectorized over ALL pending features at once (one batched 4×4
+        eigh instead of a per-feature 2L×4 SVD — the null vector of A is
+        the min-eigenvector of AᵀA): the per-feature Python loop here was
+        the reference's own hot spot (feature_manager.cpp:202-243) and a
+        measurable share of the per-frame host time."""
+        pend = [ft for ft in self.candidates() if ft.depth <= 0]
+        if not pend:
+            return
+        W1 = len(Ps)
+        # camera poses per frame (shared across features)
+        Rc = np.asarray(Rs) @ ric                      # (W1, 3, 3)
+        tc = np.asarray(Ps) + np.asarray(Rs) @ np.asarray(tic)  # (W1, 3)
+
+        # flat observation list
+        fi, oi, oj, xy = [], [], [], []
+        for n, ft in enumerate(pend):
             i = ft.start_frame
-            R0 = Rs[i] @ ric
-            t0 = Ps[i] + Rs[i] @ tic
-            rows = []
             for k, p in enumerate(ft.pts):
                 j = i + k
-                R1 = Rs[j] @ ric
-                t1 = Ps[j] + Rs[j] @ tic
-                # pose of start-cam-frame point in cam j: x_j = R X + t
-                R = R1.T @ R0
-                t = R1.T @ (t0 - t1)
-                P = np.concatenate([R, t[:, None]], axis=1)
-                xy = p[:2] / p[2]
-                rows.append(xy[0] * P[2] - P[0])
-                rows.append(xy[1] * P[2] - P[1])
-            A = np.stack(rows)
-            _, _, Vt = np.linalg.svd(A, full_matrices=False)
-            X = Vt[-1]
-            depth = X[2] / X[3]
-            ft.depth = depth if depth >= 0.1 else INIT_DEPTH
+                if j >= W1:
+                    break
+                fi.append(n)
+                oi.append(i)
+                oj.append(j)
+                xy.append(p[:2] / p[2])
+        fi = np.asarray(fi)
+        oi = np.asarray(oi)
+        oj = np.asarray(oj)
+        xy = np.asarray(xy)                            # (N, 2)
+
+        Rj = Rc[oj]                                    # (N, 3, 3)
+        # x_j = R X + t with X in cam-i coords: R = Rjᵀ Ri, t = Rjᵀ (ti - tj)
+        R = np.einsum("nba,nbc->nac", Rj, Rc[oi])      # (N, 3, 3)
+        t = np.einsum("nba,nb->na", Rj, tc[oi] - tc[oj])
+        P = np.concatenate([R, t[:, :, None]], axis=2)  # (N, 3, 4)
+        r0 = xy[:, 0:1] * P[:, 2] - P[:, 0]            # (N, 4)
+        r1 = xy[:, 1:2] * P[:, 2] - P[:, 1]
+        rows = np.stack([r0, r1], axis=1)              # (N, 2, 4)
+
+        AtA = np.zeros((len(pend), 4, 4))
+        np.add.at(AtA, fi, np.einsum("nra,nrb->nab", rows, rows))
+        _, V = np.linalg.eigh(AtA)                     # ascending eigenvalues
+        X = V[:, :, 0]                                 # (Fp, 4) null vectors
+        with np.errstate(divide="ignore", invalid="ignore"):
+            depth = X[:, 2] / X[:, 3]
+        depth = np.where(np.isfinite(depth) & (depth >= 0.1),
+                         depth, INIT_DEPTH)
+        for n, ft in enumerate(pend):
+            ft.depth = float(depth[n])
 
     # -- window-slide surgery (feature_manager.cpp:276-355) --
 

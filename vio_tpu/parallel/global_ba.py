@@ -364,6 +364,28 @@ def _obs_shardings(p: GlobalBA, mesh: Mesh):
                     lm_idx=o, frame=o, bearing=o, valid=o, sqrt_info=r)
 
 
+def _psum_hi(x, ax):
+    """High-precision psum of f32 partials (round-5 fix for the r4
+    2-process solution drift: at 262k obs the f32 psum ordering changed
+    the LM accept path enough to change the final chi² — SCALING.md).
+    With x64 available (CPU/Gloo scaling runs) the payload rides the wire
+    in float64 — the reduction order then no longer perturbs the LM
+    accept decisions.  On f64-less backends (TPU pods) the payload is
+    Dekker-split into high/low mantissa halves reduced separately — each
+    half carries ~12 significant bits, so the recombined sum keeps ~twice
+    the effective mantissa of a plain f32 psum at the cost of doubling
+    one small (0.59 MB) collective."""
+    if x.dtype == jnp.float64:
+        return jax.lax.psum(x, ax)
+    if jax.config.jax_enable_x64:
+        return jax.lax.psum(x.astype(jnp.float64), ax).astype(x.dtype)
+    # Dekker split: hi = x rounded to 12 mantissa bits, lo = exact remainder
+    c = jnp.float32(4097.0) * x          # 2^12 + 1
+    hi = c - (c - x)
+    lo = x - hi
+    return jax.lax.psum(hi, ax) + jax.lax.psum(lo, ax)
+
+
 def solve_sharded(p: GlobalBA, mesh: Mesh, max_iter: int = 20,
                   fix_frames: int = 1, loss_delta: float = 1.0,
                   use_pcg: bool = False):
@@ -512,7 +534,7 @@ def solve_sharded(p: GlobalBA, mesh: Mesh, max_iter: int = 20,
             packed = jnp.concatenate(
                 [S_loc, rhs_loc[:, None],
                  jnp.full((P6, 1), chi / P6, dtype)], axis=1)
-            packed = jax.lax.psum(packed, ax)
+            packed = _psum_hi(packed, ax)
             S = packed[:, :P6] + jnp.diag(fixed_diag)
             rhs = packed[:, P6]
             chi_tot = jnp.sum(packed[:, P6 + 1])
@@ -538,7 +560,7 @@ def solve_sharded(p: GlobalBA, mesh: Mesh, max_iter: int = 20,
         S0, rhs0, chi0, Hmm_inv0 = schur_pieces(norm0)
         # lam0 parity with ``solve``: max |diag| of the PRE-Schur global
         # Hpp (incl. the unit gauge diagonal) and the landmark diagonal
-        diag_pre = jax.lax.psum(jnp.diagonal(norm0[0]), ax) + fixed_diag
+        diag_pre = _psum_hi(jnp.diagonal(norm0[0]), ax) + fixed_diag
         diag_max = jnp.maximum(jnp.max(jnp.abs(diag_pre)),
                                jax.lax.pmax(jnp.max(jnp.abs(norm0[3])), ax))
         lam0 = 1e-5 * jnp.minimum(diag_max, 5e10)
@@ -558,7 +580,7 @@ def solve_sharded(p: GlobalBA, mesh: Mesh, max_iter: int = 20,
             # scale parity with ``solve``: dx^T (lam dx + b) with the
             # PRE-Schur gradient b = (bp, bm); bp is a shard partial so
             # dxp^T bp rides the same psum as the landmark terms
-            dot_sh = jax.lax.psum(
+            dot_sh = _psum_hi(
                 jnp.dot(dxp, bp) + jnp.dot(dxm, lam * dxm + bm), ax)
             scale = 0.5 * (lam * jnp.dot(dxp, dxp) + dot_sh) + 1e-9
             rho = (chi - chi_c) / scale

@@ -49,17 +49,19 @@ def schur_solve(normal: W.Normal, lam, feat_valid):
     return dx_p, dx_m
 
 
-@partial(jax.jit, static_argnames=("max_iter", "fix_ext", "loss_delta"))
+@partial(jax.jit, static_argnames=("max_iter", "fix_ext", "loss_delta",
+                                   "n_obs"))
 def solve_window(states: W.WindowStates, f: W.WindowFactors,
                  max_iter: int = 10, fix_ext: bool = True,
-                 loss_delta: float = 1.0):
+                 loss_delta: float = 1.0, n_obs: int | None = None):
     """Run LM on the window problem.  Returns (states, b_prior, err_prior,
     stats dict).  b_prior/err_prior carry the first-order prior update
-    accumulated over accepted steps (problem.cc:466-478)."""
+    accumulated over accepted steps (problem.cc:466-478).  n_obs: optional
+    static live-observation cap — see window.assemble."""
     # IMU information matrices are constant across iterations: invert once.
     imu_infos = W._imu_infos(f)
     normal0 = W.assemble(states, f, fix_ext=fix_ext, loss_delta=loss_delta,
-                         imu_infos=imu_infos)
+                         imu_infos=imu_infos, n_obs=n_obs)
 
     # λ0 = 1e-5 · min(max |diag|, 5e10) over the FULL diagonal (poses+landmarks)
     max_diag = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(normal0.Hpp))),
@@ -93,7 +95,8 @@ def solve_window(states: W.WindowStates, f: W.WindowFactors,
         # accept the normal equations are already built for the next step
         # (the reference evaluates chi then re-runs MakeHessian; fused here).
         normal_cand = W.assemble(cand, f_cand, fix_ext=fix_ext,
-                                 loss_delta=loss_delta, imu_infos=imu_infos)
+                                 loss_delta=loss_delta, imu_infos=imu_infos,
+                                 n_obs=n_obs)
         temp_chi = normal_cand.chi2
 
         dx_full = jnp.concatenate([dx_p, dx_m])

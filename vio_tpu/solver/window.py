@@ -186,21 +186,31 @@ class Normal(NamedTuple):
     chi2: jnp.ndarray  # () current robust chi² (0.5-scaled)
 
 
-@partial(jax.jit, static_argnames=("fix_ext", "loss_delta"))
+@partial(jax.jit, static_argnames=("fix_ext", "loss_delta", "n_obs"))
 def assemble(states: WindowStates, f: WindowFactors,
              fix_ext: bool = True, loss_delta: float = 1.0,
-             imu_infos=None) -> Normal:
+             imu_infos=None, n_obs: int | None = None) -> Normal:
     """imu_infos: optional precomputed (W, 15, 15) information matrices —
     they depend only on the preintegration covariances, which are constant
-    across LM iterations, so callers in a solve loop compute them once."""
+    across LM iterations, so callers in a solve loop compute them once.
+
+    n_obs: optional static live-observation cap.  When set, the (F, W1)
+    grid is compacted to the first n_obs live cells (static-size
+    ``jnp.nonzero`` gather) before Jacobian evaluation, so the row count
+    of the JᵀWJ GEMM scales with LIVE factors, not grid capacity — at the
+    reference's F=1024 EuRoC shape (parameters.h:37) only ~8 % of grid
+    cells are live and the grid path pays ~3× pure padding tax.  Callers
+    must ensure the live count fits (overflow silently drops factors);
+    None keeps the exact dense-grid path."""
     W1 = states.Ps.shape[0]
     F = states.inv_dep.shape[0]
     P = num_pose_params(W1 - 1)
     dtype = states.Ps.dtype
 
-    # ---------------- reprojection factors ----------------
-    Pi = states.Ps[f.start]
-    Qi = states.Qs[f.start]
+    ext_scale = jnp.asarray(0.0 if fix_ext else 1.0, dtype)
+    s2 = f.proj_sqrt_info ** 2
+    eye2 = jnp.eye(2, dtype=dtype)
+    eyeW = jnp.eye(W1, dtype=dtype)                              # (W1, W1) [j]
 
     def per_obs(inv_dep, Pi_, Qi_, pts_i, Pj, Qj, pts_j):
         r = factors.reproj_residual(inv_dep, Pi_, Qi_, Pj, Qj,
@@ -209,56 +219,107 @@ def assemble(states: WindowStates, f: WindowFactors,
             inv_dep, Pi_, Qi_, Pj, Qj, states.ext_t, states.ext_q, pts_i, pts_j)
         return r, Jd, Jpi, Jpj, Jext
 
-    fn = jax.vmap(jax.vmap(per_obs, in_axes=(None, None, None, None, 0, 0, 0)),
-                  in_axes=(0, 0, 0, 0, None, None, 0))
-    r, Jd, Jpi, Jpj, Jext = fn(_safe_inv_dep(states, f), Pi, Qi, f.pts_i,
-                               states.Ps, states.Qs, f.pts_j)
-    # shapes: r (F,W1,2), Jd (F,W1,2,1), Jpi/Jpj/Jext (F,W1,2,6)
+    if n_obs is None:
+        # ---------------- reprojection factors: dense (F, W1) grid ------
+        Pi = states.Ps[f.start]
+        Qi = states.Qs[f.start]
+        fn = jax.vmap(jax.vmap(per_obs,
+                               in_axes=(None, None, None, None, 0, 0, 0)),
+                      in_axes=(0, 0, 0, 0, None, None, 0))
+        r, Jd, Jpi, Jpj, Jext = fn(_safe_inv_dep(states, f), Pi, Qi, f.pts_i,
+                                   states.Ps, states.Qs, f.pts_j)
+        # shapes: r (F,W1,2), Jd (F,W1,2,1), Jpi/Jpj/Jext (F,W1,2,6)
 
-    mask = (f.obs_mask & f.feat_valid[:, None]).astype(dtype)   # (F, W1)
+        mask = (f.obs_mask & f.feat_valid[:, None]).astype(dtype)   # (F, W1)
 
-    # robust Cauchy weighting (edge.cc RobustInfo)
-    s2 = f.proj_sqrt_info ** 2
-    e2 = s2 * jnp.sum(r * r, axis=-1)                            # (F, W1)
-    rho0, rho1, rho2 = factors.cauchy_rho(e2, loss_delta)
-    w_err = f.proj_sqrt_info * r                                 # sqrt_info · r
-    guard = (rho1 + 2.0 * rho2 * e2 > 0.0).astype(dtype)
-    # robust_info = (rho1·I + guard·2·rho2·w_err w_errᵀ) · (s²·I)
-    eye2 = jnp.eye(2, dtype=dtype)
-    rinfo = (rho1[..., None, None] * eye2 +
-             (guard * 2.0 * rho2)[..., None, None] *
-             (w_err[..., :, None] * w_err[..., None, :])) * s2   # (F,W1,2,2)
+        # robust Cauchy weighting (edge.cc RobustInfo)
+        e2 = s2 * jnp.sum(r * r, axis=-1)                            # (F, W1)
+        rho0, rho1, rho2 = factors.cauchy_rho(e2, loss_delta)
+        w_err = f.proj_sqrt_info * r                                 # sqrt_info · r
+        guard = (rho1 + 2.0 * rho2 * e2 > 0.0).astype(dtype)
+        # robust_info = (rho1·I + guard·2·rho2·w_err w_errᵀ) · (s²·I)
+        rinfo = (rho1[..., None, None] * eye2 +
+                 (guard * 2.0 * rho2)[..., None, None] *
+                 (w_err[..., :, None] * w_err[..., None, :])) * s2   # (F,W1,2,2)
 
-    # expand per-frame pose Jacobians over the frame axis with one-hots
-    onehot_i = jax.nn.one_hot(f.start, W1, dtype=dtype)          # (F, W1)
-    eyeW = jnp.eye(W1, dtype=dtype)                              # (W1, W1) [j]
-    Jframes6 = (jnp.einsum("fjab,fk->fjakb", Jpi, onehot_i) +
-                jnp.einsum("fjab,jk->fjakb", Jpj, eyeW))         # (F,W1,2,W1,6)
-    # embed pose(6) into frame-block(15) columns, speed-bias cols stay zero
-    Jframes = jnp.zeros((F, W1, 2, W1, 15), dtype)
-    Jframes = Jframes.at[..., 0:6].set(Jframes6)
-    ext_scale = jnp.asarray(0.0 if fix_ext else 1.0, dtype)
-    Jfull = jnp.concatenate(
-        [Jext * ext_scale, Jframes.reshape(F, W1, 2, W1 * 15)], axis=-1)  # (F,W1,2,P)
-    Jfull = Jfull * mask[..., None, None]
+        # expand per-frame pose Jacobians over the frame axis with one-hots
+        onehot_i = jax.nn.one_hot(f.start, W1, dtype=dtype)          # (F, W1)
+        Jframes6 = (jnp.einsum("fjab,fk->fjakb", Jpi, onehot_i) +
+                    jnp.einsum("fjab,jk->fjakb", Jpj, eyeW))         # (F,W1,2,W1,6)
+        # embed pose(6) into frame-block(15) columns, speed-bias cols stay zero
+        Jframes = jnp.zeros((F, W1, 2, W1, 15), dtype)
+        Jframes = Jframes.at[..., 0:6].set(Jframes6)
+        Jfull = jnp.concatenate(
+            [Jext * ext_scale, Jframes.reshape(F, W1, 2, W1 * 15)], axis=-1)  # (F,W1,2,P)
+        Jfull = Jfull * mask[..., None, None]
 
-    WJ = jnp.einsum("fjrs,fjsp->fjrp", rinfo, Jfull)             # robust_info · J
-    Jmat = Jfull.reshape(F * W1 * 2, P)
-    WJmat = WJ.reshape(F * W1 * 2, P)
-    Hpp = Jmat.T @ WJmat                                          # ← MXU GEMM
+        WJ = jnp.einsum("fjrs,fjsp->fjrp", rinfo, Jfull)             # robust_info · J
+        Jmat = Jfull.reshape(F * W1 * 2, P)
+        WJmat = WJ.reshape(F * W1 * 2, P)
+        Hpp = Jmat.T @ WJmat                                          # ← MXU GEMM
 
-    # b = -Σ drho · Jᵀ · info · r   (info = s²·I, drho = rho1)
-    info_r = (s2 * rho1[..., None] * mask[..., None]) * r         # (F,W1,2)
-    bp = -jnp.einsum("fjrp,fjr->p", Jfull, info_r)
+        # b = -Σ drho · Jᵀ · info · r   (info = s²·I, drho = rho1)
+        info_r = (s2 * rho1[..., None] * mask[..., None]) * r         # (F,W1,2)
+        bp = -jnp.einsum("fjrp,fjr->p", Jfull, info_r)
 
-    # landmark (inverse-depth) blocks
-    Jd2 = Jd[..., 0] * mask[..., None]                            # (F,W1,2)
-    WJd = jnp.einsum("fjrs,fjs->fjr", rinfo, Jd2)
-    Hpm = jnp.einsum("fjrp,fjr->pf", Jfull, WJd)                  # (P, F)
-    Hmm = jnp.einsum("fjr,fjr->f", Jd2, WJd)                      # (F,)
-    bm = -jnp.einsum("fjr,fjr->f", Jd2, info_r)
+        # landmark (inverse-depth) blocks
+        Jd2 = Jd[..., 0] * mask[..., None]                            # (F,W1,2)
+        WJd = jnp.einsum("fjrs,fjs->fjr", rinfo, Jd2)
+        Hpm = jnp.einsum("fjrp,fjr->pf", Jfull, WJd)                  # (P, F)
+        Hmm = jnp.einsum("fjr,fjr->f", Jd2, WJd)                      # (F,)
+        bm = -jnp.einsum("fjr,fjr->f", Jd2, info_r)
 
-    chi = jnp.sum(jnp.where(mask > 0, rho0, 0.0))
+        chi = jnp.sum(jnp.where(mask > 0, rho0, 0.0))
+    else:
+        # ------------- reprojection factors: compacted live list --------
+        grid_mask = f.obs_mask & f.feat_valid[:, None]               # (F, W1)
+        flat = grid_mask.reshape(-1)
+        cnt = jnp.sum(flat)
+        (idx,) = jnp.nonzero(flat, size=n_obs, fill_value=0)         # (n_obs,)
+        fo = idx // W1                                               # (n_obs,)
+        jo = idx % W1
+        ovalid = (jnp.arange(n_obs) < cnt).astype(dtype)             # (n_obs,)
+
+        inv_all = _safe_inv_dep(states, f)
+        fn = jax.vmap(per_obs)
+        r, Jd, Jpi, Jpj, Jext = fn(
+            inv_all[fo], states.Ps[f.start[fo]], states.Qs[f.start[fo]],
+            f.pts_i[fo], states.Ps[jo], states.Qs[jo], f.pts_j[fo, jo])
+        # shapes: r (n_obs,2), Jd (n_obs,2,1), Jpi/Jpj/Jext (n_obs,2,6)
+
+        e2 = s2 * jnp.sum(r * r, axis=-1)                            # (n_obs,)
+        rho0, rho1, rho2 = factors.cauchy_rho(e2, loss_delta)
+        w_err = f.proj_sqrt_info * r
+        guard = (rho1 + 2.0 * rho2 * e2 > 0.0).astype(dtype)
+        rinfo = (rho1[..., None, None] * eye2 +
+                 (guard * 2.0 * rho2)[..., None, None] *
+                 (w_err[..., :, None] * w_err[..., None, :])) * s2   # (n_obs,2,2)
+
+        oh_i = jax.nn.one_hot(f.start[fo], W1, dtype=dtype)          # (n_obs, W1)
+        oh_j = jax.nn.one_hot(jo, W1, dtype=dtype)
+        Jframes6 = (jnp.einsum("oab,ok->oakb", Jpi, oh_i) +
+                    jnp.einsum("oab,ok->oakb", Jpj, oh_j))           # (n_obs,2,W1,6)
+        Jframes = jnp.zeros((n_obs, 2, W1, 15), dtype)
+        Jframes = Jframes.at[..., 0:6].set(Jframes6)
+        Jfull = jnp.concatenate(
+            [Jext * ext_scale, Jframes.reshape(n_obs, 2, W1 * 15)],
+            axis=-1)                                                 # (n_obs,2,P)
+        Jfull = Jfull * ovalid[:, None, None]
+
+        WJ = jnp.einsum("ors,osp->orp", rinfo, Jfull)
+        Hpp = Jfull.reshape(n_obs * 2, P).T @ WJ.reshape(n_obs * 2, P)  # MXU
+
+        info_r = (s2 * rho1[..., None] * ovalid[:, None]) * r        # (n_obs,2)
+        bp = -jnp.einsum("orp,or->p", Jfull, info_r)
+
+        Jd2 = Jd[..., 0] * ovalid[:, None]                           # (n_obs,2)
+        WJd = jnp.einsum("ors,os->or", rinfo, Jd2)
+        ohf = jax.nn.one_hot(fo, F, dtype=dtype) * ovalid[:, None]   # (n_obs,F)
+        Hpm = jnp.einsum("orp,or->op", Jfull, WJd).T @ ohf           # (P, F)
+        Hmm = ohf.T @ jnp.einsum("or,or->o", Jd2, WJd)               # (F,)
+        bm = -(ohf.T @ jnp.einsum("or,or->o", Jd2, info_r))
+
+        chi = jnp.sum(rho0 * ovalid)
 
     # ---------------- IMU factors ----------------
     def per_interval(terms, Pi_, Qi_, Vi, Bai, Bgi, Pj, Qj, Vj, Baj, Bgj):

@@ -61,3 +61,33 @@ def mat_to_quat_np(m: np.ndarray) -> np.ndarray:
                                                    dtype=np.int64),
         axis=-2)[..., 0, :]
     return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def ypr_to_mat_np(ypr_deg: np.ndarray) -> np.ndarray:
+    """Yaw-pitch-roll (degrees) → rotation matrix, Rz·Ry·Rx
+    (reference: utility.h:84-108; host twin of lie.ypr_to_mat)."""
+    r = np.asarray(ypr_deg, np.float64) * (np.pi / 180.0)
+    y, p, ro = r[..., 0], r[..., 1], r[..., 2]
+    cy, sy = np.cos(y), np.sin(y)
+    cp, sp = np.cos(p), np.sin(p)
+    cr, sr = np.cos(ro), np.sin(ro)
+    m = np.stack([
+        cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr,
+        sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr,
+        -sp, cp * sr, cp * cr,
+    ], axis=-1)
+    return m.reshape(r.shape[:-1] + (3, 3))
+
+
+def mat_to_ypr_np(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix → yaw-pitch-roll in DEGREES
+    (reference: utility.h:66-81 R2ypr; host twin of lie.mat_to_ypr)."""
+    R = np.asarray(R, np.float64)
+    n = R[..., :, 0]
+    o = R[..., :, 1]
+    a = R[..., :, 2]
+    y = np.arctan2(n[..., 1], n[..., 0])
+    p = np.arctan2(-n[..., 2], n[..., 0] * np.cos(y) + n[..., 1] * np.sin(y))
+    r = np.arctan2(a[..., 0] * np.sin(y) - a[..., 1] * np.cos(y),
+                   -o[..., 0] * np.sin(y) + o[..., 1] * np.cos(y))
+    return np.stack([y, p, r], axis=-1) * (180.0 / np.pi)
