@@ -32,6 +32,10 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
     " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1")
 import jax
 jax.config.update("jax_platforms", "cpu")
+# x64 available (NOT default dtypes): the problem stays float32, but
+# global_ba._psum_hi reduces the packed camera system over the wire in
+# float64 — the r4 2-process final-chi2 drift was f32 psum ordering
+jax.config.update("jax_enable_x64", True)
 if nprocs > 1:
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=nprocs, process_id=pid)
@@ -154,18 +158,24 @@ def main():
     per_iter_bytes = (6 * args.N) ** 2 * 4 + 6 * args.N * 4
     lines += [
         "",
-        f"final chi2 at the largest size: {rows[-1]['chi1']:.6g} (1p) vs "
-        f"{rows[-1]['chi2']:.6g} (2p) — float32 psum ordering changes the "
-        "LM accept path at scale (hence the per-attempt normalization); "
-        "small-problem parity is asserted bit-tight in "
+        f"final chi2 at the largest size: {rows[-1]['chi1']:.9g} (1p) vs "
+        f"{rows[-1]['chi2']:.9g} (2p) — SOLUTION PARITY (round-5 fix: "
+        "`global_ba._psum_hi` reduces the packed camera system in float64 "
+        "over the wire / Dekker-split on f64-less backends, so the psum "
+        "order no longer perturbs the LM accept path; r4 drifted 37.94 vs "
+        "46.19 here).  Small-problem parity is asserted bit-tight in "
         "tests/test_global_ba.py / test_distributed.py.",
         "",
         "Communication per LM iteration is ONE allreduce of the packed "
-        f"reduced system: {per_iter_bytes/1e6:.2f} MB (f32).  On ICI "
-        "(~100 GB/s links) that is ~tens of µs — the Gloo-over-loopback "
-        "number here is the pessimistic DCN-analog bound; efficiency "
-        "rises with problem size as shard-local assembly amortizes the "
-        "collective.  North-star target: >= 80 % to 2 hosts (BASELINE.md).",
+        f"reduced system: {per_iter_bytes/1e6:.2f} MB (f32 payload, 2x on "
+        "the f64/Dekker wire).  On ICI (~100 GB/s links) that is ~tens of "
+        "µs — the Gloo-over-loopback number here is the pessimistic "
+        "DCN-analog bound; efficiency rises with problem size as "
+        "shard-local assembly amortizes the collective.  Timing noise on "
+        "this 2-core box is significant (the 2p row at one size can beat "
+        "the 1p per-process data point of the next); the curve's shape, "
+        "not single cells, is the signal.  North-star target: >= 80 % to "
+        "2 hosts (BASELINE.md).",
         "",
         "```json",
         json.dumps({"rows": rows}, default=float),

@@ -152,3 +152,96 @@ def test_loop_closer_save_load_roundtrip(tmp_path):
     P1, R1 = back.correct(ts, kf_P, Rs, max_iter=10)
     np.testing.assert_allclose(P1, P0, atol=1e-10)
     np.testing.assert_allclose(R1, R0, atol=1e-10)
+
+
+def test_apply_live_correction_rebases_window_and_prior():
+    """Estimator.apply_live_correction (relocalization feedback,
+    estimator.cpp:622-642 lineage): a yaw+translation world correction
+    must move every window state, keep gravity alignment (yaw-only),
+    update the marginalization prior to first order (b -= H dx), and
+    leave camera-anchored landmark depths untouched."""
+    import numpy as np
+
+    from vio_tpu import sim, runner
+    from vio_tpu.utils import lie_np
+
+    data = sim.generate(noise=False)
+    est, traj = runner.run_sim(data, n_frames=30)
+    assert est.initialized
+
+    # synthetic accepted-loop correction: 5 deg yaw + 0.3 m translation
+    # (plus deliberate small pitch/roll that must be projected away)
+    dR = lie_np.ypr_to_mat_np(np.array([5.0, 0.8, -0.5]))
+    dt = np.array([0.2, -0.1, 0.15])
+
+    Ps0 = est.Ps.copy()
+    Rs0 = est.Rs.copy()
+    Vs0 = est.Vs.copy()
+    b0 = est.b_prior.copy()
+    H = est.H_prior.copy()
+    depths0 = {fid: ft.depth for fid, ft in est.fm.features.items()}
+
+    Ry, ty = est.apply_live_correction(dR, dt)
+
+    # yaw-only: the applied rotation keeps the world z axis fixed
+    np.testing.assert_allclose(Ry @ np.array([0, 0, 1.0]),
+                               np.array([0, 0, 1.0]), atol=1e-12)
+    # exact rigid transform of every window state
+    for i in range(est.W1):
+        np.testing.assert_allclose(est.Ps[i], Ry @ Ps0[i] + ty, atol=1e-9)
+        np.testing.assert_allclose(est.Rs[i], Ry @ Rs0[i], atol=1e-9)
+    # anchor frame (newest): full and yaw-only correction agree
+    np.testing.assert_allclose(est.Ps[est.frame_count],
+                               dR @ Ps0[est.frame_count] + dt, atol=1e-9)
+    # first-order prior consistency: b' = b - H dx with the packed dx
+    dx = np.zeros(est.P)
+    for i in range(est.W1):
+        base = 6 + 15 * i
+        dx[base:base + 3] = est.Ps[i] - Ps0[i]
+        dx[base + 3:base + 6] = lie_np.so3_log_np(Rs0[i].T @ est.Rs[i])
+        dx[base + 6:base + 9] = est.Vs[i] - Vs0[i]
+    np.testing.assert_allclose(est.b_prior[:6 + 15 * est.W1 - 15],
+                               (b0 - H @ dx)[:6 + 15 * est.W1 - 15],
+                               atol=1e-6)
+    # landmark depths are camera-anchored: invariant
+    for fid, ft in est.fm.features.items():
+        assert ft.depth == depths0[fid]
+    # the next solve must still run clean at the rebased linearization
+    n0 = est.frame_solved
+    k = 31
+    t_prev = data.cam_t[30]
+    imu_i = int(np.searchsorted(data.imu_t, t_prev))
+    imu_i = runner.feed_interval(est, data.imu_t, data.acc, data.gyr,
+                                 t_prev, data.cam_t[k], imu_i)
+    feats = {}
+    for lid in np.where(data.obs_valid[k])[0]:
+        xy = data.obs_xy[k, lid]
+        feats[int(lid)] = (np.array([xy[0], xy[1], 1.0]),
+                          data.obs_uv[k, lid], np.zeros(2))
+    est.process_image(feats, float(data.cam_t[k]))
+    assert est.frame_solved == n0 + 1
+    assert est.failure_count == 0
+
+
+def test_closer_rebase_keeps_corrected_output_continuous():
+    """LoopCloser.rebase: after the estimator rebases by (Ry, ty), the
+    closer's drift re-expression must keep the CORRECTED world pose of
+    any point bit-continuous: drift' ∘ (Ry,ty) == drift."""
+    import numpy as np
+
+    from vio_tpu.loop.closer import LoopCloser
+    from vio_tpu.utils import lie_np
+
+    c = LoopCloser()
+    c.drift_R = lie_np.ypr_to_mat_np(np.array([8.0, 0.0, 0.0]))
+    c.drift_t = np.array([0.4, -0.2, 0.1])
+    p = np.array([1.0, 2.0, 3.0])
+    R = lie_np.ypr_to_mat_np(np.array([30.0, 4.0, -2.0]))
+    p_corr0, R_corr0 = c.live_correct(p, R)
+
+    Ry = lie_np.ypr_to_mat_np(np.array([5.0, 0.0, 0.0]))
+    ty = np.array([0.15, 0.05, -0.02])
+    c.rebase(Ry, ty)
+    p_corr1, R_corr1 = c.live_correct(Ry @ p + ty, Ry @ R)
+    np.testing.assert_allclose(p_corr1, p_corr0, atol=1e-12)
+    np.testing.assert_allclose(R_corr1, R_corr0, atol=1e-12)

@@ -890,6 +890,52 @@ class Estimator:
         self.fm.set_inv_depths(inv_dep[:len(cands)])
 
     # ------------------------------------------------------------------
+    # relocalization feedback (estimator.cpp:622-642 setReloFrame lineage)
+    # ------------------------------------------------------------------
+
+    def apply_live_correction(self, dR, dt):
+        """Rebase the LIVE window by an accepted loop's world correction
+        (LoopCloser.drift_R/drift_t), so subsequent window solves
+        linearize at the drift-corrected states — the reference's
+        relocalization plumbing makes the loop constrain the live
+        estimate, not only the exported trajectory (estimator.cpp:622-642
+        relo_Pose drift-correct).
+
+        Only the YAW component of dR is applied (plus the matching
+        translation): gravity direction is observable in VIO, so pose
+        drift lives in 4 DoF and a pitch/roll correction would fight the
+        window's gravity alignment (the reason VINS's pose graph is
+        4-DoF).  The marginalization prior is kept consistent to first
+        order with the same b -= H·dx update rule the LM accept path uses
+        (problem.cc:466-478).  Returns the (Ry, ty) actually applied."""
+        dR = np.asarray(dR)
+        dt = np.asarray(dt)
+        ypr = lie_np.mat_to_ypr_np(dR)
+        Ry = lie_np.ypr_to_mat_np(np.array([ypr[0], 0.0, 0.0]))
+        # translation matched at the newest window frame: the full and the
+        # yaw-only correction agree exactly where the loop was observed
+        p_anchor = self.Ps[self.frame_count]
+        ty = (dR @ p_anchor + dt) - Ry @ p_anchor
+
+        dx = np.zeros(self.P)
+        for i in range(self.W1):
+            P_new = Ry @ self.Ps[i] + ty
+            R_new = Ry @ self.Rs[i]
+            V_new = Ry @ self.Vs[i]
+            base = 6 + 15 * i
+            dx[base:base + 3] = P_new - self.Ps[i]
+            dx[base + 3:base + 6] = lie_np.so3_log_np(self.Rs[i].T @ R_new)
+            dx[base + 6:base + 9] = V_new - self.Vs[i]
+            self.Ps[i] = P_new
+            self.Rs[i] = R_new
+            self.Vs[i] = V_new
+        self.b_prior = self.b_prior - self.H_prior @ dx
+        self.err_prior = -(self.Jt_prior_inv @ self.b_prior)
+        self.last_P = Ry @ self.last_P + ty
+        self.last_R = Ry @ self.last_R
+        return Ry, ty
+
+    # ------------------------------------------------------------------
     # failure detection (estimator.cpp:645-691)
     # ------------------------------------------------------------------
 

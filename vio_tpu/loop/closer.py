@@ -150,6 +150,22 @@ class LoopCloser:
         return self.drift_R @ np.asarray(p) + self.drift_t, \
             self.drift_R @ np.asarray(R)
 
+    def rebase(self, Ry, ty):
+        """The estimator applied (Ry, ty) to its live window
+        (Estimator.apply_live_correction): transform the stored keyframes
+        by the same world map so future odometry edges stay consistent
+        (relative edges are invariant under a global transform), and
+        re-express the cached drift relative to the rebased frame —
+        corrected = drift∘old = drift' ∘ (Ry, ty) ∘ old."""
+        Ry = np.asarray(Ry)
+        ty = np.asarray(ty)
+        for f in self.kfs:
+            f.p = Ry @ f.p + ty
+            f.R = Ry @ f.R
+        dR_new = self.drift_R @ Ry.T
+        self.drift_t = self.drift_t - dR_new @ ty
+        self.drift_R = dR_new
+
     def _edges(self, K: int):
         """Pose-graph edge set: sequential odometry + accepted loops."""
         ei, ej, dPs, dqs, w = [], [], [], [], []

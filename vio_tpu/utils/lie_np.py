@@ -91,3 +91,27 @@ def mat_to_ypr_np(R: np.ndarray) -> np.ndarray:
     r = np.arctan2(a[..., 0] * np.sin(y) - a[..., 1] * np.cos(y),
                    -o[..., 0] * np.sin(y) + o[..., 1] * np.cos(y))
     return np.stack([y, p, r], axis=-1) * (180.0 / np.pi)
+
+
+def so3_log_np(R: np.ndarray) -> np.ndarray:
+    """Rotation-matrix log → axis-angle vector (host twin of
+    lie.so3_log_mat) for a single 3×3 matrix."""
+    R = np.asarray(R, np.float64)
+    cos_th = np.clip(0.5 * (np.trace(R) - 1.0), -1.0, 1.0)
+    th = np.arccos(cos_th)
+    if th < 1e-10:
+        return 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                               R[1, 0] - R[0, 1]])
+    if th > np.pi - 1e-6:
+        # near-pi: axis from the symmetric part
+        A = 0.5 * (R + np.eye(3))
+        axis = np.sqrt(np.maximum(np.diag(A), 0.0))
+        # fix signs from off-diagonals
+        if A[0, 1] < 0:
+            axis[1] = -axis[1]
+        if A[0, 2] < 0:
+            axis[2] = -axis[2]
+        n = np.linalg.norm(axis)
+        return th * axis / (n if n > 0 else 1.0)
+    return th / (2.0 * np.sin(th)) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
