@@ -64,8 +64,12 @@ def noise_diag(acc_n, gyr_n, acc_w, gyr_w, dtype=None):
                      dtype=dtype or jnp.result_type(float))
 
 
-def midpoint_step(state: PreintState, dt, acc1, gyr1, noise_d) -> PreintState:
-    """One midpoint integration step (integration_base.h:54-128)."""
+def midpoint_step(state: PreintState, dt, acc1, gyr1, noise_d,
+                  X=None):
+    """One midpoint integration step (integration_base.h:54-128).
+    Returns (new_state, X_next); pass X (15, 18) to propagate the exact
+    shared-boundary-sample noise correlation (see inline note), or None
+    for the reference's independent-noise approximation."""
     dtype = state.delta_p.dtype
     acc0, gyr0 = state.acc_last, state.gyr_last
     ba, bg = state.linearized_ba, state.linearized_bg
@@ -124,13 +128,33 @@ def midpoint_step(state: PreintState, dt, acc1, gyr1, noise_d) -> PreintState:
     jac = F @ state.jacobian
     cov = F @ state.covariance @ F.T + (V * noise_d[None, :]) @ V.T
 
+    # --- shared-sample noise correlation (exact discrete model) ---
+    # Consecutive midpoint steps SHARE the boundary IMU sample: step k's
+    # (acc1, gyr1) IS step k+1's (acc0, gyr0).  The reference treats the
+    # 18-dim step noises as independent (integration_base.h:54-128), which
+    # understates the white-noise covariance of the preintegrated state by
+    # up to ~2x (each sample enters two half-weighted steps) and makes the
+    # estimator IMU-overconfident at matched priors.  X carries
+    # cov(delta_x_k, w_k) = V_{k-1} · cov(w_{k-1}, w_k); the recursion
+    # adds the exact cross terms F X Vᵀ + V Xᵀ Fᵀ.
+    if X is not None:
+        cross = (F @ X) @ V.T
+        cov = cov + cross + cross.T
+        an = noise_d[0]
+        gn = noise_d[3]
+        X_next = jnp.zeros_like(X)
+        X_next = X_next.at[:, 0:3].set(V[:, 6:9] * an)
+        X_next = X_next.at[:, 3:6].set(V[:, 9:12] * gn)
+    else:
+        X_next = None
+
     return PreintState(
         delta_p=result_p, delta_q=result_q, delta_v=result_v,
         jacobian=jac, covariance=cov,
         sum_dt=state.sum_dt + dt,
         linearized_ba=ba, linearized_bg=bg,
         acc_last=acc1, gyr_last=gyr1,
-    )
+    ), X_next
 
 
 def preintegrate(dts, accs, gyrs, mask, acc0, gyr0, ba, bg, noise_d) -> PreintState:
@@ -141,14 +165,17 @@ def preintegrate(dts, accs, gyrs, mask, acc0, gyr0, ba, bg, noise_d) -> PreintSt
     repeated IntegrationBase::push_back / repropagate
     (integration_base.h:30-52)."""
     state = init_state(acc0, gyr0, ba, bg, dtype=jnp.result_type(accs))
+    X0 = jnp.zeros((15, 18), state.delta_p.dtype)
 
     def step(carry, inp):
+        st, X = carry
         dt, acc, gyr, m = inp
-        new = midpoint_step(carry, dt, acc, gyr, noise_d)
-        out = jax.tree.map(lambda a, b: jnp.where(m, a, b), new, carry)
-        return out, None
+        new, X_new = midpoint_step(st, dt, acc, gyr, noise_d, X=X)
+        out = jax.tree.map(lambda a, b: jnp.where(m, a, b), new, st)
+        X_out = jnp.where(m, X_new, X)
+        return (out, X_out), None
 
-    final, _ = jax.lax.scan(step, state, (dts, accs, gyrs, mask))
+    (final, _), _ = jax.lax.scan(step, (state, X0), (dts, accs, gyrs, mask))
     return final
 
 
