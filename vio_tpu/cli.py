@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -106,6 +107,42 @@ def cmd_run(args):
             dataset="sim-images", frames=len(traj["t"]),
             failures=est.failure_count, wall_s=round(wall, 1),
             fps=round(est.frame_solved / max(wall, 1e-9), 2), ape=ape)))
+    elif args.dataset == "hybrid":
+        # hybrid real-sensor flagship: REAL MH-05 IMU + camera stamps,
+        # pixels rendered from the IMU-consistent trajectory (hybrid.py);
+        # --path points at the directory holding MH_05_imu0.txt/_cam0.txt
+        from . import hybrid
+        from .config import sim_images_config
+        base = args.path or ("/root/reference/workspace/assignments/"
+                             "17-vins-initialization/vins-mono/config")
+        dist = dict(k1=-0.28, k2=0.07, p1=1.0e-4, p2=-2.0e-4)
+        data = hybrid.generate_hybrid(
+            os.path.join(base, "MH_05_imu0.txt"),
+            os.path.join(base, "MH_05_cam0.txt"),
+            duration=30.0 if args.frames is None else args.frames / 20.0,
+            **dist)
+        cfg = sim_images_config(equalize=True, freq=10,
+                                outlier_reproj_px=3.0, **dist)
+
+        def frames():
+            for k in range(len(data.cam_t)):
+                yield float(data.cam_t[k]), (
+                    lambda kk=k: sim.render_image(data, kk))
+
+        t0 = time.time()
+        with _MaybeProfile(args.profile):
+            est, traj = runner.run_images(frames(), data.imu_t, data.acc,
+                                          data.gyr, cfg,
+                                          progress=args.verbose)
+        wall = time.time() - t0
+        _dump_telemetry(est, args.log_jsonl)
+        gt_p, _ = runner.sim_ground_truth_at(data, traj["t"])
+        ape = metrics.ape_rmse(traj["p"], gt_p)
+        if args.out:
+            metrics.write_tum(args.out, traj["t"], traj["p"], traj["R"])
+        print(json.dumps(dict(
+            dataset="hybrid", frames=len(traj["t"]),
+            failures=est.failure_count, wall_s=round(wall, 1), ape=ape)))
     else:
         raise SystemExit(f"unknown dataset {args.dataset}")
 
@@ -130,7 +167,7 @@ def main(argv=None):
 
     p = sub.add_parser("run", help="run VIO on a dataset")
     p.add_argument("--dataset", default="sim",
-                   choices=["sim", "sim-images", "euroc"])
+                   choices=["sim", "sim-images", "euroc", "hybrid"])
     p.add_argument("--path", default=None, help="EuRoC sequence dir")
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--noise", action="store_true")
