@@ -101,10 +101,15 @@ def test_loop_detection_and_metric_edge_accuracy():
     assert np.percentile(aerr, 90) < 2.0, aerr
 
     # the pose-graph warp must stay sane even when there is little drift
-    # to repair (loop edges carry the estimator's own noise floor)
+    # to repair (loop edges carry the estimator's own noise floor).  The
+    # absolute floor matters since round 5: the exact shared-sample IMU
+    # noise model cut this circuit's raw drift to ~0.07 m rmse — BELOW
+    # the PnP loop-edge noise floor (~0.18 m at these priors), so a
+    # purely relative bound would now fail on a healthy warp.
     Ps_c, Rs_c = closer.correct(traj["t"], traj["p"], traj["R"])
     ape_corr = metrics.ape_rmse(Ps_c, gt_p)
-    assert ape_corr["rmse"] < 2.0 * ape_raw["rmse"], (ape_raw, ape_corr)
+    assert ape_corr["rmse"] < max(2.0 * ape_raw["rmse"], 0.30), \
+        (ape_raw, ape_corr)
     # online drift estimate stays finite and bounded
     p_c, R_c = closer.live_correct(traj["p"][-1], traj["R"][-1])
     assert np.all(np.isfinite(p_c)) and np.all(np.isfinite(R_c))

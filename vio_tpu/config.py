@@ -38,6 +38,16 @@ class VioConfig:
     gyr_n: float = 0.2121
     acc_w: float = 7.07e-6
     gyr_w: float = 7.07e-7
+    # IMU preintegration noise model (imu.py midpoint_step):
+    #   "exact"       — round-5 correlated-noise recursion accounting for
+    #                   the boundary IMU sample shared by consecutive
+    #                   midpoint steps (Monte-Carlo-validated; fixes the
+    #                   ~2x white-noise underestimate of the reference's
+    #                   model and the resulting IMU overconfidence)
+    #   "independent" — the reference's independent-per-step model
+    #                   (integration_base.h:54-128), kept for configs
+    #                   whose empirical tuning predates the exact model
+    imu_noise_model: str = "exact"
     g_norm: float = 9.81
 
     # --- extrinsics: camera→IMU (R_bc as row-major 9-tuple, t_bc) ---
@@ -126,16 +136,20 @@ def sim_images_config(**overrides) -> VioConfig:
 
     - equalize off (CLAHE manufactures gradients on near-flat renders),
     - min_dist 15 px (blob spacing; 30 px suppresses half the scene),
-    - matched IMU noise priors for the noise-free IMU stream (the
-      reference's vio_simulation.yaml priors are its NOISY-run values —
-      with sub-pixel visual systematics and such weak IMU weights the
-      solver lets velocity/bias wander and the scale collapses ~30 %),
+    - strong IMU priors for the noise-free IMU stream (the reference's
+      vio_simulation.yaml priors are its NOISY-run values — with
+      sub-pixel visual systematics and such weak IMU weights the solver
+      lets velocity/bias wander and the scale collapses ~30 %), with the
+      reference-compatible "independent" noise model whose effective
+      information this regime's tuning was built on (the round-5 exact
+      model is the VioConfig default; see imu_noise_model),
     - 1 px post-solve reprojection outlier gate,
     - prior forgetting 0.95 so the marginalization prior cannot lock in
       the small init-scale residue.
     """
     base = dict(equalize=False, min_dist=15,
                 acc_n=0.05, gyr_n=0.01,
+                imu_noise_model="independent",
                 outlier_reproj_px=1.0, prior_forgetting=0.95)
     base.update(overrides)
     return VioConfig(**base)

@@ -550,7 +550,8 @@ class Estimator:
         z = jnp.zeros((cap, 3))
         bgs = jnp.broadcast_to(jnp.asarray(bg), (cap, 3))
         st = imu.preintegrate_batch(dts, accs, gyrs, mask, acc0, gyr0,
-                                    z, bgs, jnp.asarray(self.noise_diag))
+                                    z, bgs, jnp.asarray(self.noise_diag),
+                                    self.cfg.imu_noise_model == "exact")
         return jax.tree.map(lambda a: a[:n], st), idx
 
     def _visual_initial_align(self) -> bool:
@@ -628,6 +629,16 @@ class Estimator:
 
             s1 = _half(slice(0, m), slice(0, m - 1))
             s2 = _half(slice(m - 1, None), slice(m - 1, None))
+            # Agreement threshold 0.15: measured round-5 trade study —
+            # the clean first-window init (good, final APE < 0.05) and a
+            # noisy 7%-off init (final APE 0.84) produce near-IDENTICAL
+            # half-disagreement (~0.09·s, dominated by the short halves'
+            # own LS noise on this geometry), so no threshold separates
+            # them; tightening to 0.08 fixed noisy (0.32) but broke clean
+            # (0.42 — later windows on this trajectory are worse
+            # conditioned, so deferral hurts).  0.15 keeps clean inits
+            # first-try; drift from occasionally-accepted scale error in
+            # noisy regimes is the loop closer's job to repair.
             if s1 is None or s2 is None or abs(s1 - s2) > 0.15 * s:
                 self._init_align_rejects += 1
                 return False
@@ -746,7 +757,8 @@ class Estimator:
             jnp.asarray(dts), jnp.asarray(accs), jnp.asarray(gyrs),
             jnp.asarray(mask), jnp.asarray(acc0), jnp.asarray(gyr0),
             jnp.asarray(self.Bas[:self.W]), jnp.asarray(self.Bgs[:self.W]),
-            jnp.asarray(self.noise_diag))
+            jnp.asarray(self.noise_diag),
+            self.cfg.imu_noise_model == "exact")
         # keep invalid-interval covariances invertible
         cov = np.array(st.covariance, copy=True)
         for w in np.where(~imu_valid)[0]:
@@ -796,7 +808,8 @@ class Estimator:
             np.float64(self.cfg.focal_length / 1.5),
             max_iter=self.cfg.max_num_iterations,
             fix_ext=self.estimate_extrinsic == 0,
-            n_obs=self._obs_cap(obs_mask), marg_old=marg_old)
+            n_obs=self._obs_cap(obs_mask), marg_old=marg_old,
+            exact_noise=self.cfg.imu_noise_model == "exact")
         out = jax.device_get(out)
         t_solve = _time.perf_counter() - t0
         self.b_prior = np.asarray(out.b_prior, np.float64)

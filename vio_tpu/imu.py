@@ -157,22 +157,24 @@ def midpoint_step(state: PreintState, dt, acc1, gyr1, noise_d,
     ), X_next
 
 
-def preintegrate(dts, accs, gyrs, mask, acc0, gyr0, ba, bg, noise_d) -> PreintState:
+def preintegrate(dts, accs, gyrs, mask, acc0, gyr0, ba, bg, noise_d,
+                 exact_noise: bool = True) -> PreintState:
     """Integrate a fixed-capacity buffer of IMU samples in one lax.scan.
 
     dts (M,), accs (M,3), gyrs (M,3), mask (M,) bool — masked-out steps are
     no-ops (identity carry), giving static shapes for jit.  Equivalent to
     repeated IntegrationBase::push_back / repropagate
-    (integration_base.h:30-52)."""
+    (integration_base.h:30-52).  exact_noise: propagate the
+    shared-boundary-sample noise correlation (config.imu_noise_model)."""
     state = init_state(acc0, gyr0, ba, bg, dtype=jnp.result_type(accs))
-    X0 = jnp.zeros((15, 18), state.delta_p.dtype)
+    X0 = (jnp.zeros((15, 18), state.delta_p.dtype) if exact_noise else None)
 
     def step(carry, inp):
         st, X = carry
         dt, acc, gyr, m = inp
         new, X_new = midpoint_step(st, dt, acc, gyr, noise_d, X=X)
         out = jax.tree.map(lambda a, b: jnp.where(m, a, b), new, st)
-        X_out = jnp.where(m, X_new, X)
+        X_out = jnp.where(m, X_new, X) if exact_noise else None
         return (out, X_out), None
 
     (final, _), _ = jax.lax.scan(step, (state, X0), (dts, accs, gyrs, mask))
@@ -211,5 +213,6 @@ def evaluate(state: PreintState, g,
 # Jitted: the bare-vmap version dispatches an eagerly-compiled scan on every
 # call, and the repeated XLA:CPU compile churn has produced segfaults in
 # long-lived processes; one jitted executable per shape is also simply faster.
-preintegrate_batch = jax.jit(jax.vmap(preintegrate,
-                                      in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
+preintegrate_batch = jax.jit(
+    jax.vmap(preintegrate, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None)),
+    static_argnums=(9,))

@@ -70,7 +70,7 @@ def _gauge_fix(origin_Ps, origin_Qs, s: W.WindowStates) -> W.WindowStates:
 
 
 @partial(jax.jit, static_argnames=("max_iter", "fix_ext", "loss_delta",
-                                   "n_obs", "marg_old"))
+                                   "n_obs", "marg_old", "exact_noise"))
 def frame_step(states: W.WindowStates,
                dts, accs, gyrs, mask, acc0, gyr0, imu_valid,
                pts_i, pts_j, start, obs_mask, feat_valid,
@@ -78,7 +78,7 @@ def frame_step(states: W.WindowStates,
                g, noise_diag, proj_sqrt_info,
                max_iter: int = 10, fix_ext: bool = True,
                loss_delta: float = 1.0, n_obs: int | None = None,
-               marg_old: bool = True) -> FrameOut:
+               marg_old: bool = True, exact_noise: bool = True) -> FrameOut:
     """One full estimator frame on device.  All array args are raw host
     data (numpy) — one transfer set, one dispatch, one fetch."""
     W1 = states.Ps.shape[0]
@@ -86,7 +86,7 @@ def frame_step(states: W.WindowStates,
     # ---- batched preintegration at the current start-frame biases ----
     st = imu.preintegrate_batch(dts, accs, gyrs, mask, acc0, gyr0,
                                 states.Bas[:W1 - 1], states.Bgs[:W1 - 1],
-                                noise_diag)
+                                noise_diag, exact_noise)
     eye15 = jnp.eye(15, dtype=st.covariance.dtype)
     cov = jnp.where(imu_valid[:, None, None], st.covariance, eye15)
     terms = factors.ImuFactorTerms(
