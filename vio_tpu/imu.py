@@ -213,6 +213,14 @@ def evaluate(state: PreintState, g,
 # Jitted: the bare-vmap version dispatches an eagerly-compiled scan on every
 # call, and the repeated XLA:CPU compile churn has produced segfaults in
 # long-lived processes; one jitted executable per shape is also simply faster.
-preintegrate_batch = jax.jit(
+_preintegrate_batch = jax.jit(
     jax.vmap(preintegrate, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None)),
     static_argnums=(9,))
+
+
+def preintegrate_batch(dts, accs, gyrs, mask, acc0, gyr0, ba, bg, noise_d,
+                       exact_noise: bool = True) -> PreintState:
+    # vmap requires every positional arg to appear; default exact_noise here
+    # so callers match preintegrate's signature.
+    return _preintegrate_batch(dts, accs, gyrs, mask, acc0, gyr0, ba, bg,
+                               noise_d, exact_noise)
