@@ -341,10 +341,13 @@ def main():
             details[key] = f"skipped (budget: {_remaining():.0f}s left, " \
                            f"need ~{min_s}s)"
         else:
+            t0 = time.monotonic()
             try:
                 details[key] = fn()
             except Exception as e:  # pragma: no cover
                 details[key] = f"error: {e}"
+            details.setdefault("stage_wall_s", {})[key] = \
+                round(time.monotonic() - t0, 1)
         _flush_details(details)
 
     stage("tunnel_rtt_ms", 10, lambda: round(measure_rtt_ms(), 2))
@@ -361,15 +364,15 @@ def main():
         return dict(device_ms=round(d, 2) if d else None,
                     device_fps=round(1e3 / d, 1) if d else None,
                     wall_ms_per_call=round(w, 2), live_factors=live1k)
-    stage("window_ba_F1024_euroc_shape", 60, _w1024)
+    stage("window_ba_F1024_euroc_shape", 35, _w1024)
 
     def _gba():
         d, w = bench_global_ba()
         return dict(device_ms_10iter=round(d, 2) if d else None,
                     wall_ms_per_call=round(w, 2))
-    stage("global_ba_100kf", 60, _gba)
+    stage("global_ba_100kf", 35, _gba)
 
-    stage("e2e_sim_120frames", 90, bench_e2e_sim)
+    stage("e2e_sim_120frames", 100, bench_e2e_sim)
     if _FULL:
         stage("fp32_600frame_sim_ape_m", 600, bench_fp32_ape)
 
