@@ -23,7 +23,7 @@ alongside in BENCH_DETAILS.json for full transparency.
 
 Driver contract: stdout carries ONE JSON line, printed IMMEDIATELY after
 the headline stage.  Breadth stages then run under a global time budget
-(VIO_BENCH_BUDGET_S, default 150 s) and append to BENCH_DETAILS.json
+(VIO_BENCH_BUDGET_S, default 185 s) and append to BENCH_DETAILS.json
 after EVERY stage, so a hard kill still leaves partial evidence.  Set
 VIO_BENCH_FULL=1 for the unbudgeted full run (600-frame fp32 on-chip APE
 included).
@@ -50,7 +50,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 BASELINE_FPS = 25.0  # reference solver budget: 0.04 s/frame
 _T0 = time.monotonic()
-_BUDGET = float(os.environ.get("VIO_BENCH_BUDGET_S", "150"))
+_BUDGET = float(os.environ.get("VIO_BENCH_BUDGET_S", "185"))
 _FULL = os.environ.get("VIO_BENCH_FULL", "") == "1"
 
 
@@ -199,7 +199,7 @@ def bench_global_ba(n: int = 3):
     return device_time_ms(jax.jit(step), (noisy,), n=n)
 
 
-def bench_e2e_sim(n_frames: int = 120, trace_frames: int = 8):
+def bench_e2e_sim(n_frames: int = 120, trace_frames: int = 4):
     """Full estimator pipeline frames/s over the tracker-bypass sim stream
     (IMU feed + feature packaging + init + per-frame fused frame_step +
     host-f64 marg chain + slide — everything but image tracking).
@@ -215,7 +215,9 @@ def bench_e2e_sim(n_frames: int = 120, trace_frames: int = 8):
     from vio_tpu.estimator import Estimator
 
     data = sim.generate(noise=False)
-    runner.run_sim(data, n_frames=min(40, n_frames))   # warm compiles
+    # warm compiles: init completes ~frame 15 on this sim; 30 frames cover
+    # the pre-init, init, and post-init frame_step programs
+    runner.run_sim(data, n_frames=min(30, n_frames))
     t0 = time.perf_counter()
     est, traj = runner.run_sim(data, n_frames=n_frames)
     wall = time.perf_counter() - t0
@@ -372,15 +374,16 @@ def main():
                     wall_ms_per_call=round(w, 2))
     stage("global_ba_100kf", 35, _gba)
 
-    def _e2e():
-        # Adaptive depth: a slow-tunnel day shrinks the run instead of
-        # skipping it, so numeric e2e evidence lands every driver round
-        # (a 60-frame run still covers init + ~20 post-init solves).
-        n = 120 if _remaining() >= 100 else 60
-        out = bench_e2e_sim(n_frames=n)
-        out["n_frames"] = n
-        return out
-    stage("e2e_sim_120frames", 45, _e2e)
+    # Adaptive depth: a slow-tunnel day shrinks the run instead of skipping
+    # it, so numeric e2e evidence lands every driver round (a 60-frame run
+    # still covers init + ~30 post-init solves).  Degraded runs write their
+    # OWN key: tunnel wall variance is ±40% day to day and a short run's
+    # wall_fps is init-amortization-poorer, so it must never overwrite the
+    # canonical 120-frame row.
+    n_e2e = 120 if _remaining() >= 65 else 60
+    key_e2e = ("e2e_sim_120frames" if n_e2e == 120 else "e2e_sim_60frames")
+    stage(key_e2e, 45,
+          lambda: {**bench_e2e_sim(n_frames=n_e2e), "n_frames": n_e2e})
     if _FULL:
         stage("fp32_600frame_sim_ape_m", 600, bench_fp32_ape)
 
